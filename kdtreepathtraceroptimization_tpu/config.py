@@ -1,0 +1,72 @@
+"""Render configuration.
+
+The reference threads 13 positional bool/float toggles into ``pathtrace()``
+(reference: src/pathtrace.h:8-21) driven by global key-toggled flags
+(src/main.cpp:35-60). Here they live in one frozen dataclass which is
+hashable, so it can be a static argument to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) render options.
+
+    Mirrors the reference's runtime toggles (src/main.cpp:35-60):
+
+    - ``trace_depth``: max bounces. The reference caps at 8 regardless of
+      scene DEPTH (pathtrace.cu:2608 ``depth > 7``); we honor the scene's
+      value, capped by ``max_trace_depth``.
+    - ``antialias``: jitter camera rays (key A; pathtrace.cu:336-362).
+    - ``dof_angle`` / ``focal_length``: depth-of-field (keys -/= [/];
+      pathtrace.cu:373-393).
+    - ``softness``: soft-reflection cone (keys 1/2; interactions.h:259-266).
+    - ``enable_sss``: subsurface scattering (key X; pathtrace.cu:2339-2346).
+    - ``enable_kd``: use the KD tree instead of brute force (key K).
+    - ``short_stack``: short-stack traversal variant (key L;
+      pathtrace.cu:1023-1235) — here selects the stack-based vectorized
+      traversal vs. the brute-force oracle.
+    - ``use_bbox``: per-shape AABB cull in brute-force mode (key B;
+      pathtrace.cu:497-507).
+    - ``compaction``: terminated-ray compaction (key F; thrust::remove_if
+      at pathtrace.cu:2591-2597) — on TPU implemented as a masked-lane
+      wavefront plus optional sort; lanes are never dropped (static shapes).
+    - ``material_sort``: sort paths by material id before shading (key M /
+      iter==2 quirk at pathtrace.cu:2600-2606; here applied every bounce
+      when enabled).
+    - ``ray_cache``: reuse iteration-1 camera rays (key C;
+      pathtrace.cu:2448-2456). Only meaningful when ``antialias`` is off
+      (else every iteration would reuse the same jitter).
+    """
+
+    trace_depth: int = 8
+    max_trace_depth: int = 8
+    antialias: bool = False
+    aa_jitter_scale: float = 0.002  # reference: pathtrace.cu:338
+    dof_angle: float = 0.0
+    focal_length: float = 8.0
+    softness: float = 0.0
+    enable_sss: bool = False
+    enable_kd: bool = True
+    short_stack: bool = True
+    use_bbox: bool = True
+    compaction: bool = False
+    material_sort: bool = False
+    ray_cache: bool = False
+    # Numerics
+    dtype: str = "float32"
+    # Traversal tuning
+    stack_size: int = 24  # per-lane short-stack entries (depth<=~20 trees)
+    leaf_chunk: int = 8  # triangles intersected per traversal step at a leaf
+    max_traversal_steps: int = 4096  # safety bound for the while_loop
+
+    def __post_init__(self):
+        if self.trace_depth > self.max_trace_depth:
+            object.__setattr__(self, "trace_depth", self.max_trace_depth)
+
+    @property
+    def effective_depth(self) -> int:
+        return min(self.trace_depth, self.max_trace_depth)

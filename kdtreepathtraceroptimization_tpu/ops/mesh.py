@@ -1,0 +1,126 @@
+"""Triangle-mesh intersection — brute force with chunked streaming.
+
+Re-design of the brute-force OBJ loop in pathTraceOneBounce (reference:
+src/pathtrace.cu:487-628): the CUDA kernel walks every triangle per
+thread; here triangles stream through in fixed-size chunks held in VMEM
+while the running nearest-hit is carried through a ``lax.fori_loop`` —
+this is the TPU analog of the reference's brute-force and
+bounding-box-culled modes, and the correctness oracle for the KD path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from kdtreepathtraceroptimization_tpu.ops import intersect as isect
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
+from kdtreepathtraceroptimization_tpu.ops.intersect import BIG, Hit
+
+
+class TriHit(NamedTuple):
+    """Best triangle hit per ray."""
+
+    t: jax.Array  # [N] f32 (BIG = miss)
+    tri: jax.Array  # [N] int32 triangle index (-1 = miss)
+    u: jax.Array  # [N]
+    v: jax.Array  # [N]
+
+
+def _pad_tris(n_tris: int, chunk: int) -> int:
+    return (n_tris + chunk - 1) // chunk * chunk
+
+
+def intersect_mesh_brute(
+    origin: jax.Array,
+    direction: jax.Array,
+    mesh,
+    chunk: int = 512,
+    use_bbox: bool = True,
+    t_max: Optional[jax.Array] = None,
+) -> TriHit:
+    """Nearest triangle hit, streaming triangle chunks.
+
+    ``use_bbox`` mirrors the reference's per-shape AABB cull
+    (pathtrace.cu:497-507 with the 0.01 pad): rays that miss every
+    shape's padded AABB skip triangle work entirely (lane-masked).
+    """
+    n = origin.shape[0]
+    v0 = jnp.asarray(mesh.v0)
+    v1 = jnp.asarray(mesh.v1)
+    v2 = jnp.asarray(mesh.v2)
+    n_tris = v0.shape[0]
+    padded = _pad_tris(n_tris, chunk)
+    if padded != n_tris:
+        pad = padded - n_tris
+        # Degenerate padding triangles never hit (all vertices equal).
+        v0 = jnp.concatenate([v0, jnp.zeros((pad, 3), v0.dtype)])
+        v1 = jnp.concatenate([v1, jnp.zeros((pad, 3), v1.dtype)])
+        v2 = jnp.concatenate([v2, jnp.zeros((pad, 3), v2.dtype)])
+
+    if use_bbox:
+        bb_min = jnp.asarray(mesh.shape_bbox_min) - 0.01
+        bb_max = jnp.asarray(mesh.shape_bbox_max) + 0.01
+        hit_any, _ = isect.intersect_aabb(
+            origin[:, None, :], direction[:, None, :], bb_min[None], bb_max[None]
+        )
+        ray_mask = jnp.any(hit_any, axis=1)
+    else:
+        ray_mask = jnp.ones((n,), jnp.bool_)
+
+    n_chunks = padded // chunk
+
+    def body(c, carry):
+        best_t, best_tri, best_u, best_v = carry
+        start = c * chunk
+        cv0 = jax.lax.dynamic_slice_in_dim(v0, start, chunk)
+        cv1 = jax.lax.dynamic_slice_in_dim(v1, start, chunk)
+        cv2 = jax.lax.dynamic_slice_in_dim(v2, start, chunk)
+        t, u, v = isect.moller_trumbore(origin, direction, cv0, cv1, cv2)
+        t = jnp.where(ray_mask[:, None], t, BIG)
+        local_best = jnp.argmin(t, axis=1)
+        rows = jnp.arange(n)
+        lt = t[rows, local_best]
+        lu = u[rows, local_best]
+        lv = v[rows, local_best]
+        better = lt < best_t
+        return (
+            jnp.where(better, lt, best_t),
+            jnp.where(better, start + local_best.astype(jnp.int32), best_tri),
+            jnp.where(better, lu, best_u),
+            jnp.where(better, lv, best_v),
+        )
+
+    init = (
+        jnp.full((n,), BIG, jnp.float32) if t_max is None else t_max,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+    )
+    best_t, best_tri, best_u, best_v = jax.lax.fori_loop(0, n_chunks, body, init)
+    return TriHit(t=best_t, tri=best_tri, u=best_u, v=best_v)
+
+
+def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
+    """Expand a TriHit into a full Hit record (normal interpolation +
+    offset point, reference: pathtrace.cu:981-1007)."""
+    n = origin.shape[0]
+    tri = jnp.maximum(tri_hit.tri, 0)
+    n0 = jnp.asarray(mesh.n0)[tri]
+    n1 = jnp.asarray(mesh.n1)[tri]
+    n2 = jnp.asarray(mesh.n2)[tri]
+    mat_id = jnp.asarray(mesh.material_id)[tri]
+
+    point, normal = isect.interpolate_tri_hit(
+        origin, direction, tri_hit.t, tri_hit.u, tri_hit.v, n0, n1, n2
+    )
+    is_hit = tri_hit.tri >= 0
+    return Hit(
+        t=jnp.where(is_hit, tri_hit.t, BIG),
+        point=jnp.where(is_hit[:, None], point, 0.0),
+        normal=jnp.where(is_hit[:, None], normal, 0.0),
+        material_id=jnp.where(is_hit, mat_id, -1),
+        outside=jnp.ones((n,), jnp.bool_),
+    )

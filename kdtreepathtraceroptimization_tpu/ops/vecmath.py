@@ -1,0 +1,124 @@
+"""Vector math on ``[..., 3]`` jnp arrays — the glm replacement.
+
+The reference uses glm vec3/mat4 scalar math inside CUDA threads
+(reference: external/include/glm, src/utilities.cpp:65-72). Here every
+helper is batched over a leading ray axis so the VPU sees dense
+``[N, 3]`` work, and everything is differentiable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+EPSILON = 1e-5  # reference: utilities.h EPSILON
+BIG = 1e38
+
+
+def dot(a, b):
+    """Batched dot product over the last axis, keepdims=False."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def dot3(a, b):
+    """Batched dot, keeping the trailing axis for broadcasting."""
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def cross(a, b):
+    return jnp.cross(a, b)
+
+
+def norm(a):
+    return jnp.sqrt(jnp.sum(a * a, axis=-1))
+
+
+def normalize(a, eps: float = 1e-12):
+    """Safe normalize: returns a/|a| with a floor to avoid NaN on zeros."""
+    n = jnp.sqrt(jnp.maximum(jnp.sum(a * a, axis=-1, keepdims=True), eps))
+    return a / n
+
+
+def reflect(incident, n):
+    """glm::reflect: I - 2*dot(N,I)*N."""
+    return incident - 2.0 * dot3(n, incident) * n
+
+
+def refract(incident, n, eta):
+    """glm::refract semantics: returns 0 vector on total internal reflection.
+
+    incident and n must be normalized; eta = n1/n2.
+    """
+    eta = jnp.asarray(eta)
+    if eta.ndim == incident.ndim - 1:
+        eta = eta[..., None]
+    cosi = dot3(n, incident)
+    k = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    tir = k < 0.0
+    k_safe = jnp.maximum(k, 0.0)
+    out = eta * incident - (eta * cosi + jnp.sqrt(k_safe)) * n
+    return jnp.where(tir, 0.0, out)
+
+
+def rotate_about_axis(v, axis, angle):
+    """Rodrigues rotation of ``v`` around (normalized) ``axis`` by ``angle``.
+
+    Mirrors the reference's hand-rolled rotateVector (interactions.h:44-65),
+    which is an expanded Rodrigues formula.
+    """
+    axis = normalize(axis)
+    c = jnp.cos(angle)[..., None]
+    s = jnp.sin(angle)[..., None]
+    return v * c + cross(axis, v) * s + axis * dot3(axis, v) * (1.0 - c)
+
+
+def quat_rotate(v, quat_axis, angle):
+    """Rotate ``v`` by the quaternion (cos(a/2), axis*sin(a/2)).
+
+    Mirrors the DoF rotation in the reference (pathtrace.cu:384-393) which
+    builds a quaternion from a random axis + random angle.
+    """
+    return rotate_about_axis(v, quat_axis, angle)
+
+
+def transform_point(mat, p):
+    """Apply a [..., 4, 4] (or [4,4]) matrix to [..., 3] points (w=1)."""
+    return jnp.einsum("...ij,...j->...i", mat[..., :3, :3], p) + mat[..., :3, 3]
+
+
+def transform_vector(mat, v):
+    """Apply a [..., 4, 4] matrix to [..., 3] direction vectors (w=0)."""
+    return jnp.einsum("...ij,...j->...i", mat[..., :3, :3], v)
+
+
+# --------------------------------------------------------------------------
+# Host-side (numpy) transform construction — reference: utilities.cpp:65-72
+# --------------------------------------------------------------------------
+
+
+def _rot_x(deg: float) -> np.ndarray:
+    r = np.deg2rad(deg)
+    c, s = np.cos(r), np.sin(r)
+    return np.array([[1, 0, 0, 0], [0, c, -s, 0], [0, s, c, 0], [0, 0, 0, 1]], np.float64)
+
+
+def _rot_y(deg: float) -> np.ndarray:
+    r = np.deg2rad(deg)
+    c, s = np.cos(r), np.sin(r)
+    return np.array([[c, 0, s, 0], [0, 1, 0, 0], [-s, 0, c, 0], [0, 0, 0, 1]], np.float64)
+
+
+def _rot_z(deg: float) -> np.ndarray:
+    r = np.deg2rad(deg)
+    c, s = np.cos(r), np.sin(r)
+    return np.array([[c, -s, 0, 0], [s, c, 0, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+
+
+def build_transformation_matrix(translation, rotation_deg, scale) -> np.ndarray:
+    """T @ Rx @ Ry @ Rz @ S, matching utilityCore::buildTransformationMatrix
+    (reference: utilities.cpp:65-72)."""
+    t = np.eye(4)
+    t[:3, 3] = translation
+    s = np.diag([scale[0], scale[1], scale[2], 1.0])
+    r = _rot_x(rotation_deg[0]) @ _rot_y(rotation_deg[1]) @ _rot_z(rotation_deg[2])
+    return (t @ r @ s).astype(np.float32)
