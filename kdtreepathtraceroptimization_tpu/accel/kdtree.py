@@ -1,0 +1,304 @@
+"""Host-side KD-tree construction over triangle soup.
+
+Re-design of the reference's host build (src/KDnode.cpp:151-249 split,
+KDnode.cpp:112-149 bbox refit, scene.cpp:275-529 flatten): same split
+semantics —
+
+- spatial-median split at the node bbox center, axis cycling level % 3
+  (KDnode.cpp:171),
+- triangles straddling the plane are DUPLICATED into both children with
+  ±1e-4 slack (KDnode.cpp:177-187),
+- child bboxes are the parent bbox clipped at the center (KDnode.cpp:209-240),
+- stop at <= leaf_size triangles, level > max_depth, or a no-progress
+  split (KDnode.cpp:164-190),
+- 0.001 bbox padding (KDnode.cpp:138-146)
+
+— but a different output layout, designed for vectorized TPU traversal
+instead of per-thread pointer chasing:
+
+- nodes are emitted in DFS **pre-order with the left child implicit at
+  id+1** (HBM-gather locality for the common descend direction),
+- every node carries a **skip link** (next subtree in pre-order when
+  this node is missed/finished), enabling a completely stackless
+  traversal with exactly one node gather per step,
+- leaf triangles are re-packed **leaf-contiguous** (the reference's
+  cacheTriangles_, scene.cpp:366-500) and pre-gathered into bare
+  vertex/normal arrays (NodeBare/TriBare analog, KDnode.h:51-82).
+
+The builder itself is iterative (explicit stack, no Python recursion
+limits) with numpy-vectorized partitioning per node.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class KDNodes(NamedTuple):
+    """Flat node SoA (NodeBare analog, KDnode.h:64-82)."""
+
+    axis: np.ndarray  # [M] int32, -1 = leaf
+    split_pos: np.ndarray  # [M] f32 (bbox center on axis; 0 for leaves)
+    bbox_min: np.ndarray  # [M, 3] f32
+    bbox_max: np.ndarray  # [M, 3] f32
+    left: np.ndarray  # [M] int32 (= id+1 for internal, -1 leaf)
+    right: np.ndarray  # [M] int32 (-1 if absent)
+    skip: np.ndarray  # [M] int32 pre-order escape link (M = done)
+    parent: np.ndarray  # [M] int32 (-1 for root)
+    tri_start: np.ndarray  # [M] int32 into the leaf-contiguous tri array
+    tri_count: np.ndarray  # [M] int32 (0 for internal nodes)
+
+    @property
+    def count(self) -> int:
+        return int(self.axis.shape[0])
+
+
+class KDTris(NamedTuple):
+    """Leaf-contiguous pre-gathered triangles (TriBare analog)."""
+
+    v0: np.ndarray  # [T', 3]
+    v1: np.ndarray
+    v2: np.ndarray
+    n0: np.ndarray
+    n1: np.ndarray
+    n2: np.ndarray
+    material_id: np.ndarray  # [T'] int32
+    orig_index: np.ndarray  # [T'] int32 — index into the source mesh
+
+    @property
+    def count(self) -> int:
+        return int(self.material_id.shape[0])
+
+
+class KDFlat(NamedTuple):
+    """Everything the device traversal needs, replicated per chip."""
+
+    nodes: KDNodes
+    tris: KDTris
+    max_depth: int  # deepest level actually produced
+    root_bbox_min: np.ndarray  # [3]
+    root_bbox_max: np.ndarray  # [3]
+
+
+def _auto_max_depth(n_tris: int, leaf_target: int) -> int:
+    """Depth heuristic: enough levels to reach ~leaf_target tris/leaf,
+    plus slack for duplication (the reference hard-codes 13 and ignores
+    its own computed depth, scene.cpp:871-872 — we scale with the mesh)."""
+    if n_tris <= leaf_target:
+        return 0
+    return int(np.ceil(np.log2(max(n_tris / leaf_target, 1.0)))) + 8
+
+
+def build_kdtree(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    n0: Optional[np.ndarray] = None,
+    n1: Optional[np.ndarray] = None,
+    n2: Optional[np.ndarray] = None,
+    material_id: Optional[np.ndarray] = None,
+    leaf_size: int = 4,
+    max_depth: Optional[int] = None,
+    slack: float = 1e-4,
+    pad: float = 1e-3,
+) -> KDFlat:
+    """Build the tree and flatten it in one pass.
+
+    Parameters mirror the reference's knobs: ``leaf_size`` (=2 at
+    KDnode.cpp:164), ``max_depth`` (=13 at scene.cpp:872; None = auto),
+    ``slack`` (the ±1e-4 membership slack), ``pad`` (0.001 bbox pad).
+    """
+    v0 = np.asarray(v0, np.float32).reshape(-1, 3)
+    v1 = np.asarray(v1, np.float32).reshape(-1, 3)
+    v2 = np.asarray(v2, np.float32).reshape(-1, 3)
+    n_tris = v0.shape[0]
+    if n0 is None:
+        n0 = n1 = n2 = np.zeros_like(v0)
+    if material_id is None:
+        material_id = np.zeros((n_tris,), np.int32)
+    material_id = np.asarray(material_id, np.int32)
+
+    tri_min = np.minimum(np.minimum(v0, v1), v2)  # [T, 3]
+    tri_max = np.maximum(np.maximum(v0, v1), v2)
+
+    if max_depth is None:
+        max_depth = _auto_max_depth(n_tris, leaf_size)
+
+    root_min = tri_min.min(axis=0) - pad if n_tris else np.zeros(3, np.float32)
+    root_max = tri_max.max(axis=0) + pad if n_tris else np.zeros(3, np.float32)
+
+    # Output accumulators
+    axis_l, split_l, bmin_l, bmax_l = [], [], [], []
+    left_l, right_l, parent_l, tstart_l, tcount_l = [], [], [], [], []
+    leaf_tri_chunks = []  # original-index arrays, leaf-contiguous
+    n_leaf_tris = 0
+    deepest = 0
+
+    def emit(bbox_min, bbox_max, parent):
+        axis_l.append(-1)
+        split_l.append(0.0)
+        bmin_l.append(bbox_min)
+        bmax_l.append(bbox_max)
+        left_l.append(-1)
+        right_l.append(-1)
+        parent_l.append(parent)
+        tstart_l.append(0)
+        tcount_l.append(0)
+        return len(axis_l) - 1
+
+    # DFS stack of (tri_indices, bbox_min, bbox_max, level, parent, node_id)
+    # node_id is pre-assigned at push time? No: to get pre-order with
+    # left=id+1, assign ids at pop time and push right before left.
+    if n_tris > 0:
+        root_entry = (np.arange(n_tris, dtype=np.int64), root_min, root_max, 0, -1, False)
+        stack = [root_entry]
+    else:
+        stack = []
+
+    # Each stack entry: (tris, bmin, bmax, level, parent_id, is_right_child)
+    while stack:
+        tris, bmin, bmax, level, parent, is_right = stack.pop()
+        node_id = emit(bmin.astype(np.float32), bmax.astype(np.float32), parent)
+        deepest = max(deepest, level)
+        if parent >= 0:
+            if is_right:
+                right_l[parent] = node_id
+            else:
+                left_l[parent] = node_id
+
+        num = tris.shape[0]
+        make_leaf = num <= leaf_size or level > max_depth
+        if not make_leaf:
+            ax = level % 3
+            center = 0.5 * (bmin[ax] + bmax[ax])
+            go_left = tri_min[tris, ax] < center + slack
+            go_right = tri_max[tris, ax] >= center - slack
+            left_tris = tris[go_left]
+            right_tris = tris[go_right]
+            # no-progress guard (KDnode.cpp:190)
+            if left_tris.shape[0] == num or right_tris.shape[0] == num:
+                make_leaf = True
+
+        if make_leaf:
+            tstart_l[node_id] = n_leaf_tris
+            tcount_l[node_id] = num
+            leaf_tri_chunks.append(tris)
+            n_leaf_tris += num
+            continue
+
+        axis_l[node_id] = ax
+        split_l[node_id] = float(center)
+        lmin, lmax = bmin.copy(), bmax.copy()
+        lmax[ax] = center
+        rmin, rmax = bmin.copy(), bmax.copy()
+        rmin[ax] = center
+        # Push right first so left is processed next (left child = id+1).
+        if right_tris.shape[0] != 0:
+            stack.append((right_tris, rmin, rmax, level + 1, node_id, True))
+        if left_tris.shape[0] != 0:
+            stack.append((left_tris, lmin, lmax, level + 1, node_id, False))
+
+    m = len(axis_l)
+    axis = np.asarray(axis_l, np.int32)
+    left = np.asarray(left_l, np.int32)
+    right = np.asarray(right_l, np.int32)
+    parent = np.asarray(parent_l, np.int32)
+
+    # Skip links: for each node, the next pre-order node after its whole
+    # subtree. Computed bottom-up: skip(left child) = right sibling if it
+    # exists else skip(parent); skip(right child) = skip(parent);
+    # skip(root) = M (terminate).
+    skip = np.full((m,), m, np.int32)
+    for i in range(m):
+        l, r = left[i], right[i]
+        if l >= 0:
+            skip[l] = r if r >= 0 else skip[i]
+        if r >= 0:
+            skip[r] = skip[i]
+
+    order = (
+        np.concatenate(leaf_tri_chunks)
+        if leaf_tri_chunks
+        else np.zeros((0,), np.int64)
+    )
+    tris_flat = KDTris(
+        v0=v0[order],
+        v1=v1[order],
+        v2=v2[order],
+        n0=np.asarray(n0, np.float32).reshape(-1, 3)[order],
+        n1=np.asarray(n1, np.float32).reshape(-1, 3)[order],
+        n2=np.asarray(n2, np.float32).reshape(-1, 3)[order],
+        material_id=material_id[order],
+        orig_index=order.astype(np.int32),
+    )
+
+    nodes = KDNodes(
+        axis=axis,
+        split_pos=np.asarray(split_l, np.float32),
+        bbox_min=np.asarray(bmin_l, np.float32).reshape(m, 3),
+        bbox_max=np.asarray(bmax_l, np.float32).reshape(m, 3),
+        left=left,
+        right=right,
+        skip=skip,
+        parent=parent,
+        tri_start=np.asarray(tstart_l, np.int32),
+        tri_count=np.asarray(tcount_l, np.int32),
+    )
+    return KDFlat(
+        nodes=nodes,
+        tris=tris_flat,
+        max_depth=deepest,
+        root_bbox_min=root_min.astype(np.float32),
+        root_bbox_max=root_max.astype(np.float32),
+    )
+
+
+def build_kdtree_from_mesh(mesh, leaf_size: int = 4, max_depth: Optional[int] = None) -> KDFlat:
+    """Build from a scene.structs.MeshSoA (the loadObj -> KDtree path,
+    reference: scene.cpp:860-903)."""
+    return build_kdtree(
+        mesh.v0,
+        mesh.v1,
+        mesh.v2,
+        mesh.n0,
+        mesh.n1,
+        mesh.n2,
+        mesh.material_id,
+        leaf_size=leaf_size,
+        max_depth=max_depth,
+    )
+
+
+def validate_kdtree(kd: KDFlat, n_source_tris: int) -> None:
+    """Structural invariants (the property tests the reference never had,
+    SURVEY.md §4): every source triangle appears in >= 1 leaf; leaf
+    bboxes contain their triangles (within slack); links are consistent."""
+    nodes = kd.nodes
+    m = nodes.count
+    covered = np.zeros((n_source_tris,), bool)
+    covered[kd.tris.orig_index] = True
+    assert covered.all(), "some triangles missing from all leaves"
+
+    is_leaf = nodes.axis < 0
+    assert (nodes.tri_count[~is_leaf] == 0).all()
+    starts = nodes.tri_start[is_leaf]
+    counts = nodes.tri_count[is_leaf]
+    order_sorted = np.argsort(starts)
+    # leaves tile the flat tri array exactly
+    s, c = starts[order_sorted], counts[order_sorted]
+    assert s[0] == 0 and (s[1:] == (s[:-1] + c[:-1])).all()
+    assert s[-1] + c[-1] == kd.tris.count
+
+    for i in range(m):
+        l, r = nodes.left[i], nodes.right[i]
+        if l >= 0:
+            assert nodes.parent[l] == i and l == i + 1
+        if r >= 0:
+            assert nodes.parent[r] == i
+        # children bboxes inside parent
+        for ch in (l, r):
+            if ch >= 0:
+                assert (nodes.bbox_min[ch] >= nodes.bbox_min[i] - 1e-5).all()
+                assert (nodes.bbox_max[ch] <= nodes.bbox_max[i] + 1e-5).all()

@@ -247,12 +247,22 @@ def intersect_aabb(origin, direction, bb_min, bb_max):
 
     origin/direction: [..., 3]; bb_min/bb_max broadcastable to [..., 3].
     Returns (hit [...], dist [...]).
+
+    Robustness fix over the reference: an axis-parallel ray whose origin
+    sits exactly on a slab boundary yields 0 * inf = NaN in the naive
+    formulation (both here and in the CUDA original), silently pruning
+    real hits — e.g. the image's exact center column grazing a KD split
+    plane. Parallel axes are handled explicitly: inside the slab ->
+    (-BIG, +BIG), outside -> forced miss.
     """
-    inv_d = 1.0 / direction
+    par = jnp.abs(direction) < 1e-12
+    inv_d = 1.0 / jnp.where(par, 1.0, direction)
     t1 = (bb_min - origin) * inv_d
     t2 = (bb_max - origin) * inv_d
-    dmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
-    dmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    inside_slab = (origin >= bb_min) & (origin <= bb_max)
+    lo = jnp.where(par, jnp.where(inside_slab, -BIG, BIG), jnp.minimum(t1, t2))
+    hi = jnp.where(par, jnp.where(inside_slab, BIG, -BIG), jnp.maximum(t1, t2))
+    dmin = jnp.max(lo, axis=-1)
+    dmax = jnp.min(hi, axis=-1)
     hit = (dmax >= 0) & (dmin <= dmax)
-    dist = jnp.where(hit, dmin, jnp.where(dmax < 0, dmax, dmax))
-    return hit, dist
+    return hit, jnp.where(hit, dmin, dmax)

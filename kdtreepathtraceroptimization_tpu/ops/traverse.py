@@ -1,0 +1,298 @@
+"""Vectorized KD-tree traversal on device.
+
+TPU-native re-design of the reference's CUDA traversals
+(src/pathtrace.cu:881-1235 traverseKDbare / traverseKDbareShortHybrid,
+:1238-1566 traverseKDshort). The CUDA versions are per-thread scalar
+walks with a 4000-entry visited array or a register stack. On a vector
+machine the equivalent is a ``lax.while_loop`` stepping ALL rays in
+lockstep, with per-lane integer state and node fields gathered from HBM:
+
+1. ``traverse_skiplink`` — completely stackless. Nodes are laid out in
+   DFS pre-order with a precomputed *skip link* (accel/kdtree.py), so
+   each step is: gather node -> AABB test -> advance to either
+   ``id+1`` (descend) or ``skip`` (prune/next subtree). One gather per
+   step, no per-lane stack memory, uniform control flow — the TPU analog
+   of the reference's visited-flag stackless walk (pathtrace.cu:881-1020)
+   but O(1) state instead of O(nodes) flags.
+
+2. ``traverse_shortstack`` — the headline short-stack algorithm
+   (pathtrace.cu:1023-1235): children are visited near-first by ray
+   direction sign on the split axis, the far child is pushed to a
+   per-lane [K] stack in registers/VMEM, and ``dist > t_best`` prunes
+   whole subtrees. Fewer steps per ray at the cost of a [N, K] stack.
+
+Leaves are processed in fixed-size triangle chunks with a per-lane
+cursor so any leaf size works with static shapes.
+
+Both return only the winning triangle index; the differentiable hit
+refinement happens outside the loop (ops/mesh.py), so gradients flow
+to vertices/rays without differentiating through the while_loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from kdtreepathtraceroptimization_tpu.config import RenderConfig
+from kdtreepathtraceroptimization_tpu.ops import intersect as isect
+from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
+
+
+class _DeviceNodes(NamedTuple):
+    axis: jax.Array
+    bbox_min: jax.Array
+    bbox_max: jax.Array
+    left: jax.Array
+    right: jax.Array
+    skip: jax.Array
+    tri_start: jax.Array
+    tri_count: jax.Array
+
+
+def _device_nodes(kd) -> _DeviceNodes:
+    n = kd.nodes
+    return _DeviceNodes(
+        axis=jnp.asarray(n.axis),
+        bbox_min=jnp.asarray(n.bbox_min),
+        bbox_max=jnp.asarray(n.bbox_max),
+        left=jnp.asarray(n.left),
+        right=jnp.asarray(n.right),
+        skip=jnp.asarray(n.skip),
+        tri_start=jnp.asarray(n.tri_start),
+        tri_count=jnp.asarray(n.tri_count),
+    )
+
+
+def _leaf_chunk_intersect(origin, direction, kd_tris, start, count, cursor, chunk,
+                          best_t, best_tri, best_u, best_v, active):
+    """Intersect one [chunk]-sized slice of each active lane's leaf.
+
+    Gathers ``chunk`` triangle records per lane (indices start+cursor..),
+    masks lanes/slots past the leaf end, and min-reduces into the running
+    best hit. Mirrors the per-leaf loop at pathtrace.cu:1113-1165.
+    """
+    n = origin.shape[0]
+    offs = jnp.arange(chunk, dtype=jnp.int32)[None, :]  # [1, C]
+    idx = start[:, None] + cursor[:, None] + offs  # [N, C]
+    valid = active[:, None] & (cursor[:, None] + offs < count[:, None])
+    idx_c = jnp.clip(idx, 0, kd_tris.v0.shape[0] - 1)
+
+    tv0 = jnp.asarray(kd_tris.v0)[idx_c]  # [N, C, 3]
+    tv1 = jnp.asarray(kd_tris.v1)[idx_c]
+    tv2 = jnp.asarray(kd_tris.v2)[idx_c]
+
+    # Möller–Trumbore per (lane, slot) — same math as the [N, T]
+    # broadcast version but with per-lane gathered triangles.
+    e1 = tv1 - tv0
+    e2 = tv2 - tv0
+    d = direction[:, None, :]
+    p = jnp.cross(d, e2)
+    a = jnp.sum(e1 * p, axis=-1)
+    det_ok = a > 1.19e-7  # back-face culled, as glm (intersect.inl)
+    f = 1.0 / jnp.where(det_ok, a, 1.0)
+    s = origin[:, None, :] - tv0
+    u = f * jnp.sum(s * p, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(d * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    ok = valid & det_ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= 0)
+    t = jnp.where(ok, t, BIG)
+
+    slot = jnp.argmin(t, axis=1)
+    rows = jnp.arange(n)
+    ct, cu, cv = t[rows, slot], u[rows, slot], v[rows, slot]
+    cidx = idx[rows, slot]
+    better = ct < best_t
+    return (
+        jnp.where(better, ct, best_t),
+        jnp.where(better, cidx, best_tri),
+        jnp.where(better, cu, best_u),
+        jnp.where(better, cv, best_v),
+    )
+
+
+def traverse_skiplink(origin, direction, kd, config: RenderConfig,
+                      t_init=None) -> TriHit:
+    """Stackless skip-link traversal (see module docstring)."""
+    nodes = _device_nodes(kd)
+    m = nodes.axis.shape[0]
+    n = origin.shape[0]
+    chunk = config.leaf_chunk
+
+    def cond(state):
+        cur, cursor, bt, btri, bu, bv, steps = state
+        return jnp.logical_and(
+            jnp.any(cur < m), steps < config.max_traversal_steps
+        )
+
+    def body(state):
+        cur, cursor, bt, btri, bu, bv, steps = state
+        active = cur < m
+        cur_c = jnp.clip(cur, 0, m - 1)
+
+        ax = nodes.axis[cur_c]
+        bmin = nodes.bbox_min[cur_c]
+        bmax = nodes.bbox_max[cur_c]
+        skip = nodes.skip[cur_c]
+        tstart = nodes.tri_start[cur_c]
+        tcount = nodes.tri_count[cur_c]
+
+        entering = cursor == 0
+        hit_box, dist = isect.intersect_aabb(origin, direction, bmin, bmax)
+        # Prune on miss or provably-farther subtree (pathtrace.cu:1095).
+        pruned = entering & (~hit_box | (dist > bt))
+
+        is_leaf = ax < 0
+        do_leaf = active & is_leaf & ~pruned
+
+        bt, btri, bu, bv = _leaf_chunk_intersect(
+            origin, direction, kd.tris, tstart, tcount, cursor, chunk,
+            bt, btri, bu, bv, do_leaf,
+        )
+
+        new_cursor_leaf = cursor + chunk
+        leaf_done = new_cursor_leaf >= tcount
+
+        nxt = jnp.where(
+            pruned,
+            skip,
+            jnp.where(
+                is_leaf,
+                jnp.where(leaf_done, skip, cur),
+                cur + 1,  # descend: first child is pre-order successor
+            ),
+        )
+        new_cursor = jnp.where(is_leaf & ~pruned & ~leaf_done, new_cursor_leaf, 0)
+
+        cur = jnp.where(active, nxt, cur)
+        cursor = jnp.where(active, new_cursor, cursor)
+        return (cur, cursor, bt, btri, bu, bv, steps + 1)
+
+    t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
+    state = (
+        jnp.zeros((n,), jnp.int32),  # start at root (id 0)
+        jnp.zeros((n,), jnp.int32),
+        t0,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.int32(0),
+    )
+    _, _, bt, btri, bu, bv, _ = jax.lax.while_loop(cond, body, state)
+    return TriHit(t=bt, tri=btri, u=bu, v=bv)
+
+
+def traverse_shortstack(origin, direction, kd, config: RenderConfig,
+                        t_init=None) -> TriHit:
+    """Near/far-ordered short-stack traversal (headline algorithm analog,
+    pathtrace.cu:1023-1235)."""
+    nodes = _device_nodes(kd)
+    m = nodes.axis.shape[0]
+    n = origin.shape[0]
+    chunk = config.leaf_chunk
+    # The stack need never exceed the tree depth (+slack): only far
+    # children are pushed, at most one per level. kd.max_depth is a static
+    # Python int, so the stack is exactly as small as the tree allows
+    # (vs. the reference's fixed 4000-entry arrays, pathtrace.cu:100).
+    k = max(2, kd.max_depth + 2)
+
+    NO_NODE = jnp.int32(-1)
+
+    def cond(state):
+        cur, sp, stack, cursor, bt, btri, bu, bv, steps = state
+        return jnp.logical_and(
+            jnp.any((cur >= 0) | (sp > 0)), steps < config.max_traversal_steps
+        )
+
+    def body(state):
+        cur, sp, stack, cursor, bt, btri, bu, bv, steps = state
+
+        # Lanes with no current node pop from their stack.
+        need_pop = (cur < 0) & (sp > 0)
+        sp_idx = jnp.clip(sp - 1, 0, k - 1)
+        popped = stack[jnp.arange(n), sp_idx]
+        cur = jnp.where(need_pop, popped, cur)
+        sp = jnp.where(need_pop, sp - 1, sp)
+
+        active = cur >= 0
+        cur_c = jnp.clip(cur, 0, m - 1)
+
+        ax = nodes.axis[cur_c]
+        bmin = nodes.bbox_min[cur_c]
+        bmax = nodes.bbox_max[cur_c]
+        left = nodes.left[cur_c]
+        right = nodes.right[cur_c]
+        tstart = nodes.tri_start[cur_c]
+        tcount = nodes.tri_count[cur_c]
+
+        entering = cursor == 0
+        hit_box, dist = isect.intersect_aabb(origin, direction, bmin, bmax)
+        pruned = entering & (~hit_box | (dist > bt))
+
+        is_leaf = ax < 0
+        do_leaf = active & is_leaf & ~pruned
+        bt, btri, bu, bv = _leaf_chunk_intersect(
+            origin, direction, kd.tris, tstart, tcount, cursor, chunk,
+            bt, btri, bu, bv, do_leaf,
+        )
+        new_cursor_leaf = cursor + chunk
+        leaf_done = new_cursor_leaf >= tcount
+
+        # Near/far ordering by ray direction sign on the split axis
+        # (pathtrace.cu:1104-1112): positive direction -> left (low) side
+        # first.
+        dir_ax = jnp.take_along_axis(direction, jnp.clip(ax, 0, 2)[:, None], axis=1)[:, 0]
+        near = jnp.where(dir_ax >= 0, left, right)
+        far = jnp.where(dir_ax >= 0, right, left)
+        # Missing children: descend into whichever exists.
+        descend_to = jnp.where(near >= 0, near, far)
+        push_far = active & ~is_leaf & ~pruned & (near >= 0) & (far >= 0)
+
+        # Push far child.
+        sp_push = jnp.clip(sp, 0, k - 1)
+        stack = stack.at[jnp.arange(n), sp_push].set(
+            jnp.where(push_far, far, stack[jnp.arange(n), sp_push])
+        )
+        sp = jnp.where(push_far & (sp < k), sp + 1, sp)
+
+        nxt = jnp.where(
+            pruned,
+            NO_NODE,
+            jnp.where(
+                is_leaf,
+                jnp.where(leaf_done, NO_NODE, cur),
+                descend_to,
+            ),
+        )
+        new_cursor = jnp.where(is_leaf & ~pruned & ~leaf_done, new_cursor_leaf, 0)
+
+        cur = jnp.where(active, nxt, cur)
+        cursor = jnp.where(active, new_cursor, cursor)
+        return (cur, sp, stack, cursor, bt, btri, bu, bv, steps + 1)
+
+    t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
+    state = (
+        jnp.zeros((n,), jnp.int32),  # cur = root
+        jnp.zeros((n,), jnp.int32),  # sp
+        jnp.full((n, k), -1, jnp.int32),
+        jnp.zeros((n,), jnp.int32),  # cursor
+        t0,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.int32(0),
+    )
+    _, _, _, _, bt, btri, bu, bv, _ = jax.lax.while_loop(cond, body, state)
+    return TriHit(t=bt, tri=btri, u=bu, v=bv)
+
+
+def intersect_mesh_kd(origin, direction, kd, config: RenderConfig) -> TriHit:
+    """Dispatch on the configured traversal variant (the reference's
+    ``shortstack`` key-L toggle, pathtrace.cu:1653-1680)."""
+    if config.short_stack:
+        return traverse_shortstack(origin, direction, kd, config)
+    return traverse_skiplink(origin, direction, kd, config)

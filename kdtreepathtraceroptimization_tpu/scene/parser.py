@@ -111,15 +111,43 @@ def with_resolution(scene: SceneData, width: int, height: int) -> SceneData:
     return scene._replace(camera=new_cam)
 
 
-def load_scene(path: str) -> SceneData:
-    """Load a reference-format scene file into SoA pytrees.
+def load_scene(
+    path: str,
+    obj_path: Optional[str] = None,
+    mtl_dir: Optional[str] = None,
+    build_kd: bool = True,
+    leaf_size: int = 4,
+    max_depth: Optional[int] = None,
+) -> SceneData:
+    """Load a reference-format scene file into SoA pytrees, optionally
+    with an OBJ mesh + KD tree.
 
-    Mirrors Scene::Scene (reference: scene.cpp:7-57): scans for MATERIAL,
-    OBJECT, CAMERA headers and dispatches.
+    Mirrors Scene::Scene (reference: scene.cpp:7-57) plus the
+    ``argc==3`` OBJ path (main.cpp:1033, Scene::loadObj scene.cpp:579):
+    OBJ materials are appended after the scene materials and triangle
+    material ids offset accordingly (clean version of the reference's
+    ``mtlIdx + material_size - 1`` mapping, pathtrace.cu:991).
     """
     with open(path, "r") as f:
         text = f.read()
-    return parse_scene_text(text, name=os.path.basename(path))
+    scene = parse_scene_text(text, name=os.path.basename(path))
+    if obj_path is not None:
+        from kdtreepathtraceroptimization_tpu.scene.obj_loader import load_obj
+        from kdtreepathtraceroptimization_tpu.scene.structs import concat_materials
+
+        mesh, obj_mats = load_obj(
+            obj_path, mtl_dir, material_offset=scene.materials.count
+        )
+        materials = concat_materials(scene.materials, obj_mats)
+        kd = None
+        if build_kd:
+            from kdtreepathtraceroptimization_tpu.accel.kdtree import (
+                build_kdtree_from_mesh,
+            )
+
+            kd = build_kdtree_from_mesh(mesh, leaf_size=leaf_size, max_depth=max_depth)
+        scene = scene._replace(mesh=mesh, materials=materials, kd=kd)
+    return scene
 
 
 def parse_scene_text(text: str, name: str = "<string>") -> SceneData:

@@ -106,6 +106,14 @@ class MeshSoA(NamedTuple):
         return int(self.material_id.shape[0])
 
 
+def concat_materials(a: "MaterialSoA", b: "MaterialSoA") -> "MaterialSoA":
+    """Append OBJ materials after scene materials (the reference appends
+    to the same vector at load, scene.cpp:816-820)."""
+    return MaterialSoA(
+        *(np.concatenate([np.asarray(x), np.asarray(y)], axis=0) for x, y in zip(a, b))
+    )
+
+
 class RenderState(NamedTuple):
     """Per-render bookkeeping (reference: sceneStructs.h RenderState)."""
 

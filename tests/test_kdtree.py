@@ -1,0 +1,137 @@
+"""KD-tree build + traversal property tests.
+
+The reference's de-facto oracle was image-diffing two traversal modes
+(SURVEY.md §4); here that becomes a direct property test: KD traversal
+must agree with brute force on random rays over random triangle soups.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kdtreepathtraceroptimization_tpu.accel.kdtree import (
+    build_kdtree,
+    validate_kdtree,
+)
+from kdtreepathtraceroptimization_tpu.config import RenderConfig
+from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+from kdtreepathtraceroptimization_tpu.ops.mesh import intersect_mesh_brute
+from kdtreepathtraceroptimization_tpu.ops.traverse import (
+    traverse_shortstack,
+    traverse_skiplink,
+)
+from kdtreepathtraceroptimization_tpu.scene.structs import MeshSoA
+
+
+def _random_soup(rng, n_tris, spread=4.0, size=0.6):
+    centers = rng.uniform(-spread, spread, (n_tris, 3)).astype(np.float32)
+    a = centers + rng.uniform(-size, size, (n_tris, 3)).astype(np.float32)
+    b = centers + rng.uniform(-size, size, (n_tris, 3)).astype(np.float32)
+    c = centers + rng.uniform(-size, size, (n_tris, 3)).astype(np.float32)
+    return a, b, c
+
+
+def _mesh_from_soup(a, b, c):
+    n = a.shape[0]
+    fn = np.cross(b - a, c - a)
+    fn = fn / np.maximum(np.linalg.norm(fn, axis=1, keepdims=True), 1e-12)
+    pts = np.concatenate([a, b, c], axis=0)
+    return MeshSoA(
+        v0=a, v1=b, v2=c, n0=fn, n1=fn, n2=fn,
+        material_id=np.zeros(n, np.int32),
+        shape_id=np.zeros(n, np.int32),
+        shape_bbox_min=pts.min(axis=0, keepdims=True),
+        shape_bbox_max=pts.max(axis=0, keepdims=True),
+    )
+
+
+def _random_rays(rng, n_rays, spread=8.0):
+    o = rng.uniform(-spread, spread, (n_rays, 3)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def test_build_invariants():
+    rng = np.random.default_rng(0)
+    a, b, c = _random_soup(rng, 500)
+    kd = build_kdtree(a, b, c, leaf_size=4)
+    validate_kdtree(kd, 500)
+    # duplication means >= source count
+    assert kd.tris.count >= 500
+    assert kd.nodes.count >= 3
+
+
+def test_build_tiny_and_degenerate():
+    rng = np.random.default_rng(1)
+    a, b, c = _random_soup(rng, 3)
+    kd = build_kdtree(a, b, c, leaf_size=4)
+    validate_kdtree(kd, 3)
+    # single leaf tree: root is the leaf
+    assert kd.nodes.axis[0] == -1
+
+    # identical triangles (unsplittable -> no-progress guard)
+    one = np.tile(a[:1], (20, 1))
+    kd2 = build_kdtree(one, np.tile(b[:1], (20, 1)), np.tile(c[:1], (20, 1)))
+    validate_kdtree(kd2, 20)
+
+
+@pytest.mark.parametrize("traverse", [traverse_skiplink, traverse_shortstack])
+def test_traversal_matches_brute_force(traverse):
+    rng = np.random.default_rng(42)
+    a, b, c = _random_soup(rng, 300)
+    mesh = _mesh_from_soup(a, b, c)
+    kd = build_kdtree(a, b, c, leaf_size=4)
+    validate_kdtree(kd, 300)
+    o, d = _random_rays(rng, 512)
+    cfg = RenderConfig()
+
+    brute = jax.jit(lambda o, d: intersect_mesh_brute(o, d, mesh, use_bbox=False))(o, d)
+    kdh = jax.jit(lambda o, d: traverse(o, d, kd, cfg))(o, d)
+
+    bt = np.asarray(brute.t)
+    kt = np.asarray(kdh.t)
+    hit_b = bt < BIG
+    hit_k = kt < BIG
+    np.testing.assert_array_equal(hit_b, hit_k)
+    np.testing.assert_allclose(kt[hit_k], bt[hit_b], rtol=1e-4, atol=1e-4)
+    # winning triangle (by original index) matches wherever the brute
+    # winner is unique; allow ties by comparing t only (already done) and
+    # checking the KD winner maps to a real source triangle.
+    orig = np.asarray(kd.tris.orig_index)[np.asarray(kdh.tri)[hit_k]]
+    assert (orig >= 0).all() and (orig < 300).all()
+
+
+@pytest.mark.parametrize("traverse", [traverse_skiplink, traverse_shortstack])
+def test_traversal_inside_cluster(traverse):
+    # rays starting inside the geometry cluster (origin-inside-AABB paths)
+    rng = np.random.default_rng(7)
+    a, b, c = _random_soup(rng, 200, spread=2.0)
+    mesh = _mesh_from_soup(a, b, c)
+    kd = build_kdtree(a, b, c)
+    o = jnp.zeros((64, 3), jnp.float32)
+    d_np = rng.normal(size=(64, 3)).astype(np.float32)
+    d = jnp.asarray(d_np / np.linalg.norm(d_np, axis=1, keepdims=True))
+    cfg = RenderConfig()
+    brute = intersect_mesh_brute(o, d, mesh, use_bbox=False)
+    kdh = traverse(o, d, kd, cfg)
+    np.testing.assert_allclose(
+        np.asarray(kdh.t), np.asarray(brute.t), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_traversal_big_leaf_chunking():
+    # leaf_chunk smaller than leaf sizes exercises the cursor path
+    rng = np.random.default_rng(3)
+    a, b, c = _random_soup(rng, 128)
+    mesh = _mesh_from_soup(a, b, c)
+    kd = build_kdtree(a, b, c, leaf_size=64, max_depth=2)
+    o, d = _random_rays(rng, 128)
+    cfg = RenderConfig(leaf_chunk=4)
+    brute = intersect_mesh_brute(o, d, mesh, use_bbox=False)
+    for trav in (traverse_skiplink, traverse_shortstack):
+        kdh = trav(o, d, kd, cfg)
+        np.testing.assert_allclose(
+            np.asarray(kdh.t), np.asarray(brute.t), rtol=1e-4, atol=1e-4
+        )
