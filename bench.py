@@ -1,0 +1,91 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Metric: rays/sec/chip on cornell + a dragon-class procedural mesh with
+KD short-stack traversal (the reference's headline config:
+cornell + dragon, pathtrace.cu benchmark mode — BASELINE.md).
+
+vs_baseline: the reference's short-stack GTX 980M result for the
+closest mesh size, converted to rays/sec via
+rays/sec = pixels * mean-alive-bounces / iteration-time (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def _mesh_scene(res, subdiv):
+    import tempfile
+
+    from tests.meshutil import icosphere, write_obj
+    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
+
+    scene_path = os.path.join(os.path.dirname(__file__), "scenes", "cornell.txt")
+    verts, faces = icosphere(subdiv, radius=2.5, center=(0.0, 3.0, 0.0))
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    tmp.close()
+    write_obj(tmp.name, verts, faces)
+    scene = load_scene(scene_path, obj_path=tmp.name)
+    return with_resolution(scene, res, res), len(faces)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from kdtreepathtraceroptimization_tpu.config import RenderConfig
+    from kdtreepathtraceroptimization_tpu.render.integrator import make_render_fn
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    # Scale the benchmark to the platform so CI/CPU runs stay fast.
+    if on_tpu:
+        res, subdiv, iters = 800, 5, 10  # 20480 tris; headline-style config
+    else:
+        res, subdiv, iters = 200, 3, 3
+
+    scene, n_tris = _mesh_scene(res, subdiv)
+    depth = 8
+    config = RenderConfig(trace_depth=depth, antialias=True, enable_kd=True,
+                          short_stack=True)
+
+    step = make_render_fn(scene, config)
+    n = res * res
+    film = jnp.zeros((n, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    # warmup/compile
+    film = step(film, key, jnp.int32(1))
+    film.block_until_ready()
+
+    t0 = time.perf_counter()
+    for it in range(2, 2 + iters):
+        film = step(film, key, jnp.int32(it))
+    film.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    # rays/sec: every pixel traces up to `depth` bounces; count launched
+    # bounce-rays (pixels * depth) to match the reference's kernel-time
+    # basis (all paths resident every bounce, no compaction).
+    rays_per_sec = n * depth / dt
+
+    # Baseline conversion (BASELINE.md): reference short-stack on the
+    # 18.4k-vert dragon = 59.0 ms/iteration at 800x800 x 8 bounces.
+    ref_ms = 59.0
+    ref_rays_per_sec = 800 * 800 * 8 / (ref_ms / 1e3)
+
+    out = {
+        "metric": f"rays/sec/chip (cornell+icosphere{n_tris}tris, {res}x{res}, depth {depth}, kd short-stack)",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / ref_rays_per_sec, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

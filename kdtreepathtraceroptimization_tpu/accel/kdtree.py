@@ -91,6 +91,68 @@ def _auto_max_depth(n_tris: int, leaf_target: int) -> int:
     return int(np.ceil(np.log2(max(n_tris / leaf_target, 1.0)))) + 8
 
 
+def _build_arrays_native(tri_min, tri_max, leaf_size, max_depth, slack, pad):
+    """Build via the C++ builder (accel/native/kdbuild.cpp). Returns the
+    same tuple as the Python DFS below, or None if the native library is
+    unavailable."""
+    from kdtreepathtraceroptimization_tpu.accel.native import load_native
+
+    lib = load_native()
+    if lib is None:
+        return None
+    import ctypes
+
+    tmin = np.ascontiguousarray(tri_min, np.float32)
+    tmax = np.ascontiguousarray(tri_max, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    h = lib.kd_build(
+        tmin.ctypes.data_as(fp),
+        tmax.ctypes.data_as(fp),
+        tmin.shape[0],
+        leaf_size,
+        max_depth,
+        slack,
+        pad,
+    )
+    try:
+        m = lib.kd_node_count(h)
+        t = lib.kd_tri_count(h)
+        deepest = lib.kd_max_depth(h)
+        axis = np.empty(m, np.int32)
+        split = np.empty(m, np.float32)
+        bmin = np.empty((m, 3), np.float32)
+        bmax = np.empty((m, 3), np.float32)
+        left = np.empty(m, np.int32)
+        right = np.empty(m, np.int32)
+        skip = np.empty(m, np.int32)
+        parent = np.empty(m, np.int32)
+        tri_start = np.empty(m, np.int32)
+        tri_count = np.empty(m, np.int32)
+        order = np.empty(t, np.int64)
+        root_min = np.empty(3, np.float32)
+        root_max = np.empty(3, np.float32)
+        ip = ctypes.POINTER(ctypes.c_int32)
+        lp = ctypes.POINTER(ctypes.c_int64)
+        lib.kd_export(
+            h,
+            axis.ctypes.data_as(ip), split.ctypes.data_as(fp),
+            bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+            left.ctypes.data_as(ip), right.ctypes.data_as(ip),
+            skip.ctypes.data_as(ip), parent.ctypes.data_as(ip),
+            tri_start.ctypes.data_as(ip), tri_count.ctypes.data_as(ip),
+            order.ctypes.data_as(lp),
+            root_min.ctypes.data_as(fp), root_max.ctypes.data_as(fp),
+        )
+    finally:
+        lib.kd_free(h)
+    nodes = KDNodes(
+        axis=axis, split_pos=split, bbox_min=bmin, bbox_max=bmax,
+        left=left, right=right, skip=skip, parent=parent,
+        tri_start=tri_start, tri_count=tri_count,
+    )
+    return nodes, order, int(deepest), root_min, root_max
+
+
 def build_kdtree(
     v0: np.ndarray,
     v1: np.ndarray,
@@ -103,12 +165,15 @@ def build_kdtree(
     max_depth: Optional[int] = None,
     slack: float = 1e-4,
     pad: float = 1e-3,
+    backend: str = "auto",
 ) -> KDFlat:
     """Build the tree and flatten it in one pass.
 
     Parameters mirror the reference's knobs: ``leaf_size`` (=2 at
     KDnode.cpp:164), ``max_depth`` (=13 at scene.cpp:872; None = auto),
     ``slack`` (the ±1e-4 membership slack), ``pad`` (0.001 bbox pad).
+    ``backend``: 'auto' (native C++ if available, else numpy),
+    'native', or 'numpy'. Both produce identical arrays.
     """
     v0 = np.asarray(v0, np.float32).reshape(-1, 3)
     v1 = np.asarray(v1, np.float32).reshape(-1, 3)
@@ -128,6 +193,17 @@ def build_kdtree(
 
     root_min = tri_min.min(axis=0) - pad if n_tris else np.zeros(3, np.float32)
     root_max = tri_max.max(axis=0) + pad if n_tris else np.zeros(3, np.float32)
+
+    if backend in ("auto", "native") and n_tris > 0:
+        res = _build_arrays_native(tri_min, tri_max, leaf_size, max_depth, slack, pad)
+        if res is not None:
+            nodes, order, deepest, root_min_n, root_max_n = res
+            return _pack_kdflat(
+                nodes, order, deepest, root_min_n, root_max_n,
+                v0, v1, v2, n0, n1, n2, material_id,
+            )
+        if backend == "native":
+            raise RuntimeError("native KD builder unavailable (g++ compile failed?)")
 
     # Output accumulators
     axis_l, split_l, bmin_l, bmax_l = [], [], [], []
@@ -180,6 +256,14 @@ def build_kdtree(
             # no-progress guard (KDnode.cpp:190)
             if left_tris.shape[0] == num or right_tris.shape[0] == num:
                 make_leaf = True
+            # bad-split guard (ours, not in the reference): when nearly
+            # every triangle straddles the plane, splitting only
+            # duplicates — overlapping soups otherwise explode the tree.
+            elif (
+                left_tris.shape[0] >= 0.95 * num
+                and right_tris.shape[0] >= 0.95 * num
+            ):
+                make_leaf = True
 
         if make_leaf:
             tstart_l[node_id] = n_leaf_tris
@@ -223,17 +307,6 @@ def build_kdtree(
         if leaf_tri_chunks
         else np.zeros((0,), np.int64)
     )
-    tris_flat = KDTris(
-        v0=v0[order],
-        v1=v1[order],
-        v2=v2[order],
-        n0=np.asarray(n0, np.float32).reshape(-1, 3)[order],
-        n1=np.asarray(n1, np.float32).reshape(-1, 3)[order],
-        n2=np.asarray(n2, np.float32).reshape(-1, 3)[order],
-        material_id=material_id[order],
-        orig_index=order.astype(np.int32),
-    )
-
     nodes = KDNodes(
         axis=axis,
         split_pos=np.asarray(split_l, np.float32),
@@ -246,12 +319,30 @@ def build_kdtree(
         tri_start=np.asarray(tstart_l, np.int32),
         tri_count=np.asarray(tcount_l, np.int32),
     )
+    return _pack_kdflat(
+        nodes, order, deepest, root_min, root_max, v0, v1, v2, n0, n1, n2, material_id
+    )
+
+
+def _pack_kdflat(nodes, order, deepest, root_min, root_max,
+                 v0, v1, v2, n0, n1, n2, material_id) -> KDFlat:
+    """Gather the leaf-contiguous triangle arrays and assemble KDFlat."""
+    tris_flat = KDTris(
+        v0=v0[order],
+        v1=v1[order],
+        v2=v2[order],
+        n0=np.asarray(n0, np.float32).reshape(-1, 3)[order],
+        n1=np.asarray(n1, np.float32).reshape(-1, 3)[order],
+        n2=np.asarray(n2, np.float32).reshape(-1, 3)[order],
+        material_id=np.asarray(material_id, np.int32)[order],
+        orig_index=order.astype(np.int32),
+    )
     return KDFlat(
         nodes=nodes,
         tris=tris_flat,
-        max_depth=deepest,
-        root_bbox_min=root_min.astype(np.float32),
-        root_bbox_max=root_max.astype(np.float32),
+        max_depth=int(deepest),
+        root_bbox_min=np.asarray(root_min, np.float32),
+        root_bbox_max=np.asarray(root_max, np.float32),
     )
 
 

@@ -89,7 +89,7 @@ def scatter(
     # Reference quirk kept: the SSS-entry ray restarts from the *old*
     # origin (+eps), not the hit point, and sdepth = |origin - hit|.
     sss_origin = origin + sss_dir * 1e-4
-    sss_sdepth = vm.norm(sss_origin - point)
+    sss_sdepth = vm.safe_norm(sss_origin - point)
     sss_enter = (u[:, 0] < 0.5) & ~is_inside
 
     sss_res = ScatterResult(

@@ -75,11 +75,21 @@ def _box_test(q_origin, q_dir, transform):
     q_origin/q_dir: [N, G, 3] object-space rays; transform: [G, 4, 4].
     Returns (t_world_distance [N,G], point [N,G,3], normal [N,G,3], outside).
     """
-    inv_d = 1.0 / q_dir  # IEEE inf on axis-parallel rays, as in reference
+    # The reference divides by zero on axis-parallel rays and leans on
+    # IEEE inf semantics (intersections.h:118-120). That is forward-correct
+    # except exactly on a slab boundary, and it poisons reverse-mode AD
+    # (inf * 0 cotangents). Parallel axes are handled explicitly instead.
+    par = jnp.abs(q_dir) < 1e-12
+    inv_d = 1.0 / jnp.where(par, 1.0, q_dir)
     t1 = (-0.5 - q_origin) * inv_d
     t2 = (0.5 - q_origin) * inv_d
-    ta = jnp.minimum(t1, t2)
-    tb = jnp.maximum(t1, t2)
+    inside_slab = (q_origin >= -0.5) & (q_origin <= 0.5)
+    ta = jnp.where(
+        par, jnp.where(inside_slab, -BIG, BIG), jnp.minimum(t1, t2)
+    )
+    tb = jnp.where(
+        par, jnp.where(inside_slab, BIG, -BIG), jnp.maximum(t1, t2)
+    )
     # Per-axis candidate normal sign: +1 if t2 < t1 else -1 (entering face).
     n_sign = jnp.where(t2 < t1, 1.0, -1.0)
 
@@ -119,7 +129,10 @@ def _sphere_test(q_origin, q_dir, transform, inv_transpose):
     v_dot_d = vm.dot(q_origin, q_dir)
     radicand = v_dot_d * v_dot_d - (vm.dot(q_origin, q_origin) - radius * radius)
     has_root = radicand >= 0
-    sq = jnp.sqrt(jnp.maximum(radicand, 0.0))
+    # Double-where: sqrt must never see the no-root branch even with a
+    # zero cotangent — sqrt'(0) = inf makes 0 * inf = NaN in reverse mode.
+    sq = jnp.sqrt(jnp.where(has_root, jnp.maximum(radicand, 1e-12), 1.0))
+    sq = jnp.where(has_root, sq, 0.0)
     t1 = -v_dot_d + sq
     t2 = -v_dot_d - sq
     both_neg = (t1 < 0) & (t2 < 0)
@@ -168,16 +181,21 @@ def intersect_geoms(origin, direction, geoms) -> Hit:
     normal = jnp.where(is_box[..., None], box_n, sph_n)
     outside = jnp.where(is_box, box_out, sph_out)
 
-    t = jnp.where(hit, vm.norm(point - origin[:, None, :]), BIG)
+    t = jnp.where(hit, vm.safe_norm(point - origin[:, None, :]), BIG)
 
-    # Nearest over the geom axis.
+    # Nearest over the geom axis. Miss lanes are sanitized to zeros:
+    # the un-hit branches carry huge/garbage positions (t_obj ~ ±BIG
+    # through the transform) that would otherwise overflow downstream
+    # math and poison reverse-mode AD.
     best = jnp.argmin(t, axis=1)
     rows = jnp.arange(n)
+    t_best = t[rows, best]
+    is_hit = t_best < BIG
     return Hit(
-        t=t[rows, best],
-        point=point[rows, best],
-        normal=normal[rows, best],
-        material_id=jnp.where(t[rows, best] < BIG, mat_id[best], -1),
+        t=t_best,
+        point=jnp.where(is_hit[:, None], point[rows, best], 0.0),
+        normal=jnp.where(is_hit[:, None], normal[rows, best], 0.0),
+        material_id=jnp.where(is_hit, mat_id[best], -1),
         outside=outside[rows, best],
     )
 

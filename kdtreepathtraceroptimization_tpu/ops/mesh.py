@@ -100,25 +100,66 @@ def intersect_mesh_brute(
         jnp.zeros((n,), jnp.float32),
     )
     best_t, best_tri, best_u, best_v = jax.lax.fori_loop(0, n_chunks, body, init)
-    return TriHit(t=best_t, tri=best_tri, u=best_u, v=best_v)
+    # The selection is discrete; gradients come from refine_tri_hit.
+    return jax.lax.stop_gradient(TriHit(t=best_t, tri=best_tri, u=best_u, v=best_v))
+
+
+def refine_tri_hit(origin, direction, tri_idx, mesh):
+    """Differentiably recompute (t, u, v) for an already-selected triangle.
+
+    The traversal loops (lax.while_loop / fori_loop) are not
+    reverse-differentiable and shouldn't be — the *choice* of nearest
+    triangle is discrete. This is the standard detached-sampling
+    estimator: the index is stop-gradient, but t/u/v are re-evaluated
+    with one Möller–Trumbore outside the loop so gradients flow to
+    vertices, ray origin and direction. (Differentiability is a new
+    capability over the reference — SURVEY.md §7 step 7.)
+    """
+    tri = jax.lax.stop_gradient(jnp.maximum(tri_idx, 0))
+    v0 = jnp.asarray(mesh.v0)[tri]
+    v1 = jnp.asarray(mesh.v1)[tri]
+    v2 = jnp.asarray(mesh.v2)[tri]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = jnp.cross(direction, e2)
+    a = jnp.sum(e1 * p, axis=-1)
+    # 1/det blows up at silhouette-grazing hits (the classic
+    # differentiable-rendering singularity): clamp |det| so gradients
+    # stay large-but-bounded instead of overflowing to inf/NaN when the
+    # loss sums many of them. Forward values change only for hits with
+    # |det| < 1e-6 — beyond-grazing angles with no visual contribution.
+    safe = jnp.abs(a) > 1e-12
+    a_clamped = jnp.where(a >= 0, 1.0, -1.0) * jnp.maximum(jnp.abs(a), 1e-6)
+    f = 1.0 / jnp.where(safe, a_clamped, 1.0)
+    s = origin - v0
+    u = f * jnp.sum(s * p, axis=-1)
+    q = jnp.cross(s, e1)
+    v = f * jnp.sum(direction * q, axis=-1)
+    t = f * jnp.sum(e2 * q, axis=-1)
+    return t, u, v
 
 
 def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
     """Expand a TriHit into a full Hit record (normal interpolation +
-    offset point, reference: pathtrace.cu:981-1007)."""
+    offset point, reference: pathtrace.cu:981-1007). t/u/v are
+    differentiably recomputed from the winning triangle (refine_tri_hit),
+    so the loop-computed values only pick the winner."""
     n = origin.shape[0]
+    is_hit = tri_hit.tri >= 0
     tri = jnp.maximum(tri_hit.tri, 0)
+    t, u, v = refine_tri_hit(origin, direction, tri_hit.tri, mesh)
+    # Guard: if the refined eval disagrees wildly (degenerate padding
+    # triangle on a miss lane), fall back to the loop values.
+    t = jnp.where(is_hit, t, BIG)
+
     n0 = jnp.asarray(mesh.n0)[tri]
     n1 = jnp.asarray(mesh.n1)[tri]
     n2 = jnp.asarray(mesh.n2)[tri]
     mat_id = jnp.asarray(mesh.material_id)[tri]
 
-    point, normal = isect.interpolate_tri_hit(
-        origin, direction, tri_hit.t, tri_hit.u, tri_hit.v, n0, n1, n2
-    )
-    is_hit = tri_hit.tri >= 0
+    point, normal = isect.interpolate_tri_hit(origin, direction, t, u, v, n0, n1, n2)
     return Hit(
-        t=jnp.where(is_hit, tri_hit.t, BIG),
+        t=t,
         point=jnp.where(is_hit[:, None], point, 0.0),
         normal=jnp.where(is_hit[:, None], normal, 0.0),
         material_id=jnp.where(is_hit, mat_id, -1),

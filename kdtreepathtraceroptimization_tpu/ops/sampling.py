@@ -70,7 +70,9 @@ def rotate_cone_sample(direction, v):
     when dir is parallel to z: fall back to dir itself.
     """
     minus_z = jnp.array([0.0, 0.0, -1.0], direction.dtype)
-    cosang = jnp.clip(-direction[..., 2], -1.0, 1.0)  # dot(-z, dir)
+    # Clip strictly inside (-1, 1): arccos' blows up at the endpoints and
+    # would poison reverse-mode gradients for near-axial directions.
+    cosang = jnp.clip(-direction[..., 2], -1.0 + 1e-6, 1.0 - 1e-6)
     angle = jnp.arccos(cosang)
     axis = jnp.cross(jnp.broadcast_to(minus_z, direction.shape), direction)
     axis_len = vm.norm(axis)

@@ -183,7 +183,8 @@ def traverse_skiplink(origin, direction, kd, config: RenderConfig,
         jnp.int32(0),
     )
     _, _, bt, btri, bu, bv, _ = jax.lax.while_loop(cond, body, state)
-    return TriHit(t=bt, tri=btri, u=bu, v=bv)
+    # Discrete selection; gradients come from mesh.refine_tri_hit.
+    return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=bu, v=bv))
 
 
 def traverse_shortstack(origin, direction, kd, config: RenderConfig,
@@ -287,7 +288,7 @@ def traverse_shortstack(origin, direction, kd, config: RenderConfig,
         jnp.int32(0),
     )
     _, _, _, _, bt, btri, bu, bv, _ = jax.lax.while_loop(cond, body, state)
-    return TriHit(t=bt, tri=btri, u=bu, v=bv)
+    return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=bu, v=bv))
 
 
 def intersect_mesh_kd(origin, direction, kd, config: RenderConfig) -> TriHit:

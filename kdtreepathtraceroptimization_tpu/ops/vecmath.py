@@ -33,6 +33,14 @@ def norm(a):
     return jnp.sqrt(jnp.sum(a * a, axis=-1))
 
 
+def safe_norm(a, eps: float = 1e-12):
+    """Norm with a well-defined gradient at 0 (|x| has a 0/0 cotangent
+    there). Used wherever distances between possibly-coincident points
+    are differentiated — e.g. t = |hit - origin| when a scattered ray
+    re-hits its own surface at t~0."""
+    return jnp.sqrt(jnp.sum(a * a, axis=-1) + eps)
+
+
 def normalize(a, eps: float = 1e-12):
     """Safe normalize: returns a/|a| with a floor to avoid NaN on zeros."""
     n = jnp.sqrt(jnp.maximum(jnp.sum(a * a, axis=-1, keepdims=True), eps))
@@ -55,7 +63,9 @@ def refract(incident, n, eta):
     cosi = dot3(n, incident)
     k = 1.0 - eta * eta * (1.0 - cosi * cosi)
     tir = k < 0.0
-    k_safe = jnp.maximum(k, 0.0)
+    # Floor strictly above 0: sqrt' is infinite at 0 and would leak NaN
+    # cotangents at the exact TIR boundary.
+    k_safe = jnp.maximum(k, 1e-12)
     out = eta * incident - (eta * cosi + jnp.sqrt(k_safe)) * n
     return jnp.where(tir, 0.0, out)
 

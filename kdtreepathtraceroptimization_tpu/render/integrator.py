@@ -62,15 +62,21 @@ def trace_iteration(
     config: RenderConfig,
     base_key: jax.Array,
     iteration: jax.Array,
+    cached_rays: "RaySoA" = None,
 ) -> jax.Array:
     """One full path-trace iteration -> per-pixel radiance [N, 3].
 
     Equivalent of one pathtrace() call (reference: pathtrace.cu:2405-2635)
-    minus the film accumulation, which the caller owns.
+    minus the film accumulation, which the caller owns. ``cached_rays``
+    reuses pre-generated camera rays (first-bounce ray caching, key C /
+    dev_paths_cache, pathtrace.cu:2448-2456).
     """
     depth_budget = config.effective_depth
-    raygen_k = bounce_key(base_key, iteration, 0)
-    rays = generate_rays(camera, config, raygen_k, depth_budget)
+    if cached_rays is not None:
+        rays = cached_rays
+    else:
+        raygen_k = bounce_key(base_key, iteration, 0)
+        rays = generate_rays(camera, config, raygen_k, depth_budget)
     n = rays.origin.shape[0]
 
     def bounce(carry, depth):
@@ -114,15 +120,40 @@ def trace_iteration(
             pixel_index=rays.pixel_index,
             remaining_bounces=new_bounces,
         )
+
+        # Optional wavefront reorderings (reference: thrust remove_if /
+        # sort, pathtrace.cu:2591-2606). On TPU these are locality
+        # optimizations, not occupancy ones — lanes never shrink.
+        if config.material_sort:
+            from kdtreepathtraceroptimization_tpu.ops.compaction import (
+                sort_rays_by_material,
+            )
+
+            new_rays, _ = sort_rays_by_material(new_rays, hit.material_id)
+        elif config.compaction:
+            from kdtreepathtraceroptimization_tpu.ops.compaction import compact_rays
+
+            new_rays, _ = compact_rays(new_rays)
         return new_rays, None
 
-    rays, _ = jax.lax.scan(
-        bounce, rays, jnp.arange(depth_budget, dtype=jnp.int32)
-    )
+    # Static Python unroll over bounces (depth is small and fixed — the
+    # reference caps at 8, pathtrace.cu:2608). Unrolling lets XLA fuse
+    # across bounce boundaries, and avoids a lax.scan reverse-mode
+    # pathology: scan's backward produced NaN cotangents on this body
+    # where the mathematically identical unrolled graph does not
+    # (observed on the CPU backend; see tests/test_grad.py).
+    for depth in range(depth_budget):
+        rays, _ = bounce(rays, jnp.int32(depth))
 
     # finalGather (reference: pathtrace.cu:2373-2383): every path adds its
-    # accumulated color to its pixel. With static shapes pixel_index is
-    # the identity, so this is just the color array.
+    # accumulated color to its pixel. Without reordering pixel_index is
+    # the identity and this is just the color array; with compaction or
+    # material sort it is a scatter.
+    if config.material_sort or config.compaction:
+        n_px = rays.color.shape[0]
+        return jnp.zeros((n_px, 3), rays.color.dtype).at[rays.pixel_index].set(
+            rays.color
+        )
     return rays.color
 
 
@@ -141,6 +172,25 @@ def make_render_fn(scene, config: RenderConfig):
         scene.kd,
         scene.camera,
     )
+
+    if config.ray_cache:
+        # First-bounce ray caching (key C, pathtrace.cu:2448-2456):
+        # camera rays are generated once and reused every iteration.
+        from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key as _bk
+
+        cached = jax.jit(
+            lambda k: generate_rays(camera, config, k, config.effective_depth)
+        )(_bk(jax.random.PRNGKey(0), 1, 0))
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def render_step(film, base_key, iteration):
+            radiance = trace_iteration(
+                geoms, materials, mesh, kd, camera, config, base_key, iteration,
+                cached_rays=cached,
+            )
+            return film + radiance
+
+        return render_step
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def render_step(film, base_key, iteration):

@@ -1,0 +1,191 @@
+"""Differentiability tests: gradients w.r.t. materials vs finite
+differences (the gradcheck north star — BASELINE.json)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kdtreepathtraceroptimization_tpu.config import RenderConfig
+from kdtreepathtraceroptimization_tpu.models.inverse import make_train_step, render_loss
+from kdtreepathtraceroptimization_tpu.scene.parser import with_resolution
+
+
+def _setup(cornell_scene, res=24, depth=3):
+    scene = with_resolution(cornell_scene, res, res)
+    config = RenderConfig(trace_depth=depth, antialias=False)
+    key = jax.random.PRNGKey(0)
+    return scene, config, key
+
+
+def test_material_grad_matches_finite_difference(cornell_scene):
+    scene, config, key = _setup(cornell_scene)
+    target = jnp.zeros((24 * 24, 3), jnp.float32)
+
+    def loss_of(materials):
+        return render_loss(materials, scene, config, key, jnp.int32(1), target)
+
+    materials = jax.tree.map(jnp.asarray, scene.materials)
+    loss0, grads = jax.jit(jax.value_and_grad(loss_of))(materials)
+    assert np.isfinite(float(loss0))
+    g = np.asarray(grads.color)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0, "material color gradient is identically zero"
+
+    # Central finite differences on a few of the largest-gradient entries.
+    loss_jit = jax.jit(loss_of)
+    flat = np.abs(g).ravel()
+    check = np.argsort(flat)[-4:]
+    eps = 3e-3
+    for idx in check:
+        i, c = divmod(int(idx), 3)
+        e = np.zeros_like(np.asarray(materials.color))
+        e[i, c] = eps
+        lp = float(loss_jit(materials._replace(color=materials.color + e)))
+        lm = float(loss_jit(materials._replace(color=materials.color - e)))
+        fd = (lp - lm) / (2 * eps)
+        ad = float(g[i, c])
+        # Rendering is piecewise-smooth in albedo (polynomial), so FD
+        # should agree tightly.
+        assert abs(fd - ad) <= 2e-2 * max(abs(fd), abs(ad), 1e-3), (
+            f"material[{i},{c}]: fd={fd} ad={ad}"
+        )
+
+
+def test_emittance_grad(cornell_scene):
+    scene, config, key = _setup(cornell_scene)
+    target = jnp.zeros((24 * 24, 3), jnp.float32)
+
+    def loss_of(em):
+        mats = jax.tree.map(jnp.asarray, scene.materials)._replace(emittance=em)
+        return render_loss(mats, scene, config, key, jnp.int32(1), target)
+
+    em0 = jnp.asarray(scene.materials.emittance)
+    g = jax.jit(jax.grad(loss_of))(em0)
+    assert np.isfinite(np.asarray(g)).all()
+    # the light's emittance must matter
+    assert abs(float(g[0])) > 0
+
+    eps = 1e-2
+    lp = float(loss_of(em0.at[0].add(eps)))
+    lm = float(loss_of(em0.at[0].add(-eps)))
+    fd = (lp - lm) / (2 * eps)
+    ad = float(g[0])
+    assert abs(fd - ad) <= 2e-2 * max(abs(fd), abs(ad)), f"fd={fd} ad={ad}"
+
+
+def test_train_step_reduces_loss(cornell_scene):
+    scene, config, key = _setup(cornell_scene, res=16, depth=2)
+
+    # Target: render with the true materials; then perturb the wall
+    # color and recover it.
+    from kdtreepathtraceroptimization_tpu.render.integrator import trace_iteration
+
+    target = trace_iteration(
+        scene.geoms, scene.materials, None, None, scene.camera, config, key, jnp.int32(1)
+    )
+
+    perturbed = scene.materials._replace(
+        color=np.asarray(scene.materials.color) * 0.5
+    )
+    scene_p = scene._replace(materials=perturbed)
+    init_state, train_step = make_train_step(scene_p, config, target, learning_rate=2e-2)
+    state = init_state()
+    losses = []
+    for s in range(12):
+        state, loss = train_step(state, key, jnp.int32(1))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, f"loss did not drop: {losses}"
+
+
+def test_mesh_vertex_grad(cornell_scene):
+    """Vertex gradients through the KD path (detached-index estimator,
+    ops/mesh.refine_tri_hit).
+
+    With pure Lambertian shading, radiance is a product of albedos —
+    piecewise CONSTANT in vertex positions — so the interior (detached)
+    gradient is exactly zero; visibility gradients need the edge-aware
+    estimator (round 2+). The continuous geometric dependence the
+    estimator must capture is subsurface depth: sdepth^2 * transmittance
+    (shade.py), so with SSS enabled vertex grads are finite AND nonzero.
+    """
+    import tempfile
+
+    from tests.meshutil import icosphere, write_obj
+    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene
+    import os
+
+    verts, faces = icosphere(1, radius=2.0, center=(0.0, 3.0, 0.0))
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    tmp.close()
+    write_obj(tmp.name, verts, faces)
+    scene_path = os.path.join(os.path.dirname(__file__), "..", "scenes", "cornell.txt")
+    scene = with_resolution(load_scene(scene_path, obj_path=tmp.name), 16, 16)
+    config = RenderConfig(trace_depth=2, enable_kd=True)
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((16 * 16, 3), jnp.float32)
+
+    from kdtreepathtraceroptimization_tpu.render.integrator import (
+        intersect_scene,
+        trace_iteration,
+    )
+    from kdtreepathtraceroptimization_tpu.ops.camera import generate_rays
+    from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key
+    from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+
+    # (a) radiance loss: Lambertian radiance is piecewise constant in
+    # geometry, so the interior gradient must be finite (zero is correct).
+    def radiance_loss(v0):
+        kd = scene.kd._replace(tris=scene.kd.tris._replace(v0=v0))
+        radiance = trace_iteration(
+            scene.geoms, scene.materials, scene.mesh, kd, scene.camera,
+            config, key, jnp.int32(1),
+        )
+        return jnp.mean((radiance - target) ** 2)
+
+    v0 = jnp.asarray(scene.kd.tris.v0)
+    g = np.asarray(jax.jit(jax.grad(radiance_loss))(v0))
+    assert np.isfinite(g).all(), f"{np.isnan(g).sum()} NaN vertex grads"
+
+    # (b) depth-AOV loss: hit distance depends smoothly on vertices
+    # through refine_tri_hit -> nonzero gradient, checked against FD.
+    rays = generate_rays(scene.camera, config, bounce_key(key, 1, 0), 1)
+
+    # Probe one triangle: restrict the loss to the lanes that hit it so
+    # float32 finite differences aren't swamped by cancellation against
+    # the other ~250 lanes' t values.
+    from kdtreepathtraceroptimization_tpu.ops.traverse import intersect_mesh_kd
+
+    win = np.asarray(
+        intersect_mesh_kd(rays.origin, rays.direction, scene.kd, config).tri
+    )
+    rows, counts = np.unique(win[win >= 0], return_counts=True)
+    # interior triangle: hit by several lanes (avoid silhouette rows)
+    row = int(rows[np.argmax(counts)])
+    lane_mask = jnp.asarray(win == row)
+
+    def depth_loss(v0):
+        kd = scene.kd._replace(tris=scene.kd.tris._replace(v0=v0))
+        hit = intersect_scene(
+            rays.origin, rays.direction, scene.geoms, scene.materials,
+            scene.mesh, kd, config,
+        )
+        return jnp.sum(jnp.where(lane_mask & (hit.t < BIG), hit.t, 0.0))
+
+    gd = np.asarray(jax.jit(jax.grad(depth_loss))(v0))
+    assert np.isfinite(gd).all()
+    assert np.abs(gd).max() > 0, "depth gradient w.r.t. vertices is zero"
+
+    dl = jax.jit(depth_loss)
+    eps = 1e-3
+    agree, results = 0, []
+    picks = np.argsort(np.abs(gd).ravel())[-3:]
+    for idx in picks:
+        i, c = divmod(int(idx), 3)
+        e = np.zeros(gd.shape, np.float32)
+        e[i, c] = eps
+        fd = (float(dl(v0 + e)) - float(dl(v0 - e))) / (2 * eps)
+        ad = float(gd[i, c])
+        results.append((fd, ad))
+        if abs(fd - ad) <= 1e-1 * max(abs(fd), abs(ad), 1e-3):
+            agree += 1
+    assert agree >= 2, f"FD/AD disagree: {results}"
