@@ -19,8 +19,16 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon sitecustomize registers the tunneled TPU backend and forces
+# jax_platforms="axon,cpu" regardless of the env var. Neutralize BOTH
+# ways: drop the trigger env so child processes stay clean, and override
+# the config before any backend is touched. Without this, "CPU" tests
+# silently run over the TPU tunnel (slow, flaky, 1 device).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import pytest  # noqa: E402

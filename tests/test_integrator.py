@@ -34,8 +34,9 @@ def test_render_structure(cornell_scene):
     right = img[:, 44:56].mean(axis=(0, 1))
     assert left[0] > left[1], f"left wall not red-dominant: {left}"
     assert right[1] > right[0], f"right wall not green-dominant: {right}"
-    # the light region (top middle) should be the brightest patch
-    light = img[2:8, 24:40].mean()
+    # the light region (projected: ceiling light spans rows ~15-19,
+    # cols ~28-36 at 64x64 with this camera) outshines the floor
+    light = img[15:19, 29:35].mean()
     floor = img[50:60, 24:40].mean()
     assert light > floor
 
