@@ -22,7 +22,7 @@ import numpy as np
 def _mesh_scene(res, subdiv):
     import tempfile
 
-    from tests.meshutil import icosphere, write_obj
+    from kdtreepathtraceroptimization_tpu.utils.procmesh import icosphere, write_obj
     from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
 
     scene_path = os.path.join(os.path.dirname(__file__), "scenes", "cornell.txt")

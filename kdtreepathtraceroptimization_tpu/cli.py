@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--viz-kd", action="store_true", help="render KD node AABBs")
     p.add_argument("--benchmark", action="store_true",
                    help="print per-iteration timing (key T analog)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the steady-state "
+                        "iterations into DIR (cudaEvent/TESTINGMODE analog; "
+                        "view with tensorboard or xprof)")
+    p.add_argument("--print-kd-stats", action="store_true",
+                   help="print KD tree stats and write the Houdini-format "
+                        "bbox dump next to the output image")
     p.add_argument("--leaf-size", type=int, default=4)
     p.add_argument("--kd-depth", type=int, default=None)
     p.add_argument("--output", "-o", default=None, help="output path (.png or .hdr)")
@@ -144,6 +151,17 @@ def main(argv=None) -> int:
         print(f"wrote {out}")
         return 0
 
+    if args.print_kd_stats and scene.kd is not None:
+        from kdtreepathtraceroptimization_tpu.accel.kdtools import (
+            tree_stats,
+            write_kd_to_file,
+        )
+
+        print("kd:", json.dumps(tree_stats(scene.kd)))
+        dump = scene.state.image_name + ".kdboxes.txt"
+        write_kd_to_file(scene.kd, dump)
+        print(f"wrote {dump} (Houdini bbox-dump format)")
+
     step = make_render_fn(scene, config)
     key = jax.random.PRNGKey(args.seed)
 
@@ -158,7 +176,12 @@ def main(argv=None) -> int:
 
     t_compile = time.perf_counter()
     times = []
+    profiling = False
     for it in range(start_iter + 1, spp + 1):
+        if args.profile and it == start_iter + 2:
+            # Start after the compile iteration so the trace is steady-state.
+            jax.profiler.start_trace(args.profile)
+            profiling = True
         t0 = time.perf_counter()
         accum = step(accum, key, jnp.int32(it))
         if args.benchmark:
@@ -173,6 +196,9 @@ def main(argv=None) -> int:
                 Film(accum=accum, iteration=it, seed=args.seed),
             )
     accum.block_until_ready()
+    if profiling:
+        jax.profiler.stop_trace()
+        print(f"wrote profiler trace to {args.profile}")
     wall = time.perf_counter() - t_compile
 
     if args.benchmark and len(times) > 1:

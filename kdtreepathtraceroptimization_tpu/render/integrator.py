@@ -31,18 +31,24 @@ from kdtreepathtraceroptimization_tpu.ops.camera import RaySoA, generate_rays
 from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key, uniforms
 
 
-def intersect_scene(origin, direction, geoms, materials, mesh, kd, config: RenderConfig):
+def intersect_scene(origin, direction, geoms, materials, mesh, kd,
+                    config: RenderConfig, active=None):
     """Nearest hit against analytic geoms + (optional) triangle mesh.
 
     Mirrors the dispatch in pathtrace() (reference: pathtrace.cu:2483-2559):
-    brute force vs KD-tree is a static config choice.
+    brute force vs KD-tree is a static config choice. Analytic geoms are
+    intersected FIRST so their nearest t bounds the KD walk (subtree
+    pruning), and ``active`` lets terminated wavefront lanes skip the
+    traversal entirely — both are pure wins the megakernel design
+    couldn't express.
     """
     hit = isect.intersect_geoms(origin, direction, geoms)
     if mesh is not None:
         if config.enable_kd and kd is not None:
             from kdtreepathtraceroptimization_tpu.ops.traverse import intersect_mesh_kd
 
-            tri_hit = intersect_mesh_kd(origin, direction, kd, config)
+            tri_hit = intersect_mesh_kd(origin, direction, kd, config,
+                                        t_init=hit.t, active=active)
             mesh_hit = mesh_ops.tri_hit_to_hit(origin, direction, tri_hit, kd.tris)
         else:
             tri_hit = mesh_ops.intersect_mesh_brute(
@@ -84,7 +90,8 @@ def trace_iteration(
         active = rays.remaining_bounces > 0
 
         hit = intersect_scene(
-            rays.origin, rays.direction, geoms, materials, mesh, kd, config
+            rays.origin, rays.direction, geoms, materials, mesh, kd, config,
+            active=active,
         )
         mat = bsdf.gather_materials(materials, hit.material_id)
 

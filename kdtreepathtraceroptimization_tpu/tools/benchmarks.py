@@ -1,0 +1,127 @@
+"""Benchmark sweep reproducing the reference's published table shape.
+
+The reference hand-pasted cudaEvent timings into
+presentation/benchmarks.py as matrices of 10 runs x 4 modes
+{bruteforce, bounding box, kd-tree, short-stack kd} x 8 mesh
+resolutions (reference: presentation/benchmarks.py:27-381, README
+table — SURVEY.md §6). This tool *measures* the same sweep live:
+a Cornell box + procedural icosphere at growing subdivision levels,
+rendered in each traversal mode, reporting mean ms/iteration.
+
+Usage:
+    python -m kdtreepathtraceroptimization_tpu.tools.benchmarks \
+        [--res 800] [--iters 10] [--depth 8] [--subdiv 2 3 4 5] \
+        [--modes brute bbox kd short] [--json out.json]
+
+Each row prints as it completes; the final table mirrors SURVEY.md §6
+so the two are directly comparable (lower is better).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+MODES = {
+    # name -> RenderConfig overrides
+    "brute": dict(enable_kd=False, use_bbox=False),
+    "bbox": dict(enable_kd=False, use_bbox=True),
+    "kd": dict(enable_kd=True, short_stack=False),
+    "short": dict(enable_kd=True, short_stack=True),
+}
+
+
+def _scene(res: int, subdiv: int):
+    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
+    from kdtreepathtraceroptimization_tpu.utils.procmesh import icosphere, write_obj
+
+    scene_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "scenes",
+        "cornell.txt",
+    )
+    verts, faces = icosphere(subdiv, radius=2.5, center=(0.0, 3.0, 0.0))
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    tmp.close()
+    write_obj(tmp.name, verts, faces)
+    scene = load_scene(scene_path, obj_path=tmp.name)
+    os.unlink(tmp.name)
+    return with_resolution(scene, res, res), len(faces), len(verts)
+
+
+def time_mode(scene, mode: str, res: int, iters: int, depth: int) -> float:
+    """Mean steady-state ms/iteration for one traversal mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from kdtreepathtraceroptimization_tpu.config import RenderConfig
+    from kdtreepathtraceroptimization_tpu.render.integrator import make_render_fn
+
+    config = RenderConfig(trace_depth=depth, antialias=True, **MODES[mode])
+    step = make_render_fn(scene, config)
+    film = jnp.zeros((res * res, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    film = step(film, key, jnp.int32(1))  # compile + warm
+    film.block_until_ready()
+    t0 = time.perf_counter()
+    for it in range(2, 2 + iters):
+        film = step(film, key, jnp.int32(it))
+    film.block_until_ready()
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--res", type=int, default=None,
+                   help="image resolution (default 800 on TPU, 200 on CPU)")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--depth", type=int, default=8)
+    p.add_argument("--subdiv", type=int, nargs="+", default=None,
+                   help="icosphere subdivision levels (tris = 20*4^s)")
+    p.add_argument("--modes", nargs="+", default=list(MODES),
+                   choices=list(MODES))
+    p.add_argument("--json", default=None, help="also write results as JSON")
+    args = p.parse_args(argv)
+
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    res = args.res or (800 if on_tpu else 200)
+    subdivs = args.subdiv or ([2, 3, 4, 5] if on_tpu else [1, 2])
+
+    rows = []
+    header = ["mesh (tris/verts)"] + [m for m in args.modes]
+    print("  ".join(f"{h:>18}" for h in header))
+    for s in subdivs:
+        scene, n_tris, n_verts = _scene(res, s)
+        row = {"subdiv": s, "tris": n_tris, "verts": n_verts, "res": res,
+               "depth": args.depth, "ms": {}}
+        cells = [f"{n_tris}/{n_verts}"]
+        for mode in args.modes:
+            # brute force past ~20k tris is the reference's crash row
+            # (README.md:208-209) — here it just gets slow; skip above 100k.
+            if mode in ("brute", "bbox") and n_tris > 100_000:
+                row["ms"][mode] = None
+                cells.append("skip")
+                continue
+            ms = time_mode(scene, mode, res, args.iters, args.depth)
+            row["ms"][mode] = round(ms, 2)
+            cells.append(f"{ms:.1f}ms")
+            print("  ".join(f"{c:>18}" for c in cells), end="\r", flush=True)
+        rows.append(row)
+        print("  ".join(f"{c:>18}" for c in cells))
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"res": res, "iters": args.iters, "rows": rows}, f, indent=2)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

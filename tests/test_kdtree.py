@@ -135,3 +135,86 @@ def test_traversal_big_leaf_chunking():
         np.testing.assert_allclose(
             np.asarray(kdh.t), np.asarray(brute.t), rtol=1e-4, atol=1e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# Fat-row traversal (the TPU production path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("short_stack", [False, True])
+@pytest.mark.parametrize("tiles", [1, 4])
+def test_fatrow_matches_brute_force(short_stack, tiles):
+    from kdtreepathtraceroptimization_tpu.ops.traverse import traverse_fatrow
+
+    rng = np.random.default_rng(42)
+    a, b, c = _random_soup(rng, 300)
+    mesh = _mesh_from_soup(a, b, c)
+    kd = build_kdtree(a, b, c, leaf_size=4)
+    assert kd.fat is not None
+    o, d = _random_rays(rng, 512)
+    cfg = RenderConfig(short_stack=short_stack, traversal_tiles=tiles)
+
+    brute = jax.jit(lambda o, d: intersect_mesh_brute(o, d, mesh, use_bbox=False))(o, d)
+    kdh = jax.jit(lambda o, d: traverse_fatrow(o, d, kd, cfg))(o, d)
+
+    bt, kt = np.asarray(brute.t), np.asarray(kdh.t)
+    hit_b, hit_k = bt < BIG, kt < BIG
+    np.testing.assert_array_equal(hit_b, hit_k)
+    np.testing.assert_allclose(kt[hit_k], bt[hit_b], rtol=1e-4, atol=1e-4)
+    orig = np.asarray(kd.tris.orig_index)[np.asarray(kdh.tri)[hit_k]]
+    assert (orig >= 0).all() and (orig < 300).all()
+
+
+@pytest.mark.parametrize("short_stack", [False, True])
+def test_fatrow_big_leaves_continuation_chain(short_stack):
+    # leaves far larger than the inline cap exercise continuation rows
+    from kdtreepathtraceroptimization_tpu.ops.traverse import traverse_fatrow
+
+    rng = np.random.default_rng(3)
+    a, b, c = _random_soup(rng, 128)
+    mesh = _mesh_from_soup(a, b, c)
+    kd = build_kdtree(a, b, c, leaf_size=64, max_depth=2)
+    assert kd.fat.count > kd.nodes.count  # chains actually exist
+    o, d = _random_rays(rng, 128)
+    cfg = RenderConfig(short_stack=short_stack)
+    brute = intersect_mesh_brute(o, d, mesh, use_bbox=False)
+    kdh = traverse_fatrow(o, d, kd, cfg)
+    np.testing.assert_allclose(
+        np.asarray(kdh.t), np.asarray(brute.t), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_fatrow_t_init_and_active():
+    from kdtreepathtraceroptimization_tpu.ops.traverse import traverse_fatrow
+
+    rng = np.random.default_rng(9)
+    a, b, c = _random_soup(rng, 200)
+    mesh = _mesh_from_soup(a, b, c)
+    kd = build_kdtree(a, b, c)
+    o, d = _random_rays(rng, 256)
+    cfg = RenderConfig()
+    brute = intersect_mesh_brute(o, d, mesh, use_bbox=False)
+    bt = np.asarray(brute.t)
+
+    # active=False lanes report miss and never traverse
+    active = jnp.asarray(np.arange(256) % 2 == 0)
+    kdh = traverse_fatrow(o, d, kd, cfg, active=active)
+    kt = np.asarray(kdh.t)
+    assert (kt[1::2] >= BIG).all()
+    hit = kt[::2] < BIG
+    np.testing.assert_allclose(kt[::2][hit], bt[::2][hit], rtol=1e-4, atol=1e-4)
+
+    # t_init below the true hit distance suppresses the hit (bounded
+    # search); above it, the hit is found exactly.
+    t_low = jnp.full((256,), 1e-3, jnp.float32)
+    kdh_low = traverse_fatrow(o, d, kd, cfg, t_init=t_low)
+    assert (np.asarray(kdh_low.t) >= BIG).all()
+
+    t_hi = jnp.asarray(np.where(bt < BIG, bt * 1.5, BIG).astype(np.float32))
+    kdh_hi = traverse_fatrow(o, d, kd, cfg, t_init=t_hi)
+    hit2 = np.asarray(kdh_hi.t) < BIG
+    np.testing.assert_array_equal(hit2, bt < BIG)
+    np.testing.assert_allclose(
+        np.asarray(kdh_hi.t)[hit2], bt[bt < BIG], rtol=1e-4, atol=1e-4
+    )
