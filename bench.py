@@ -50,8 +50,7 @@ def main():
 
     scene, n_tris = _mesh_scene(res, subdiv)
     depth = 8
-    config = RenderConfig(trace_depth=depth, antialias=True, enable_kd=True,
-                          short_stack=True)
+    config = RenderConfig(trace_depth=depth, antialias=True, enable_kd=True)
 
     step = make_render_fn(scene, config)
     n = res * res
@@ -62,10 +61,13 @@ def main():
     film = step(film, key, jnp.int32(1))
     film.block_until_ready()
 
+    # Fetch a value every iteration: on the tunneled single-chip setup,
+    # block_until_ready alone has reported wildly optimistic times — only
+    # a host read provably forces execution.
     t0 = time.perf_counter()
     for it in range(2, 2 + iters):
         film = step(film, key, jnp.int32(it))
-    film.block_until_ready()
+        float(film[0, 0])
     dt = (time.perf_counter() - t0) / iters
 
     # rays/sec: every pixel traces up to `depth` bounces; count launched

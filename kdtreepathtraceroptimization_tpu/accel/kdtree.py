@@ -201,6 +201,7 @@ def build_kdtree(
     slack: float = 1e-4,
     pad: float = 1e-3,
     backend: str = "auto",
+    inline_cap: Optional[int] = None,
 ) -> KDFlat:
     """Build the tree and flatten it in one pass.
 
@@ -235,7 +236,7 @@ def build_kdtree(
             nodes, order, deepest, root_min_n, root_max_n = res
             return _pack_kdflat(
                 nodes, order, deepest, root_min_n, root_max_n,
-                v0, v1, v2, n0, n1, n2, material_id,
+                v0, v1, v2, n0, n1, n2, material_id, inline_cap=inline_cap,
             )
         if backend == "native":
             raise RuntimeError("native KD builder unavailable (g++ compile failed?)")
@@ -355,7 +356,8 @@ def build_kdtree(
         tri_count=np.asarray(tcount_l, np.int32),
     )
     return _pack_kdflat(
-        nodes, order, deepest, root_min, root_max, v0, v1, v2, n0, n1, n2, material_id
+        nodes, order, deepest, root_min, root_max, v0, v1, v2, n0, n1, n2,
+        material_id, inline_cap=inline_cap,
     )
 
 
@@ -363,14 +365,18 @@ INLINE_CAP = 8  # triangles inlined per fat row (leaf chunk granularity)
 
 
 def _pack_kdflat(nodes, order, deepest, root_min, root_max,
-                 v0, v1, v2, n0, n1, n2, material_id) -> KDFlat:
-    """Pad each leaf's triangle block to a multiple of INLINE_CAP, gather
-    the leaf-contiguous triangle arrays, and build the fat-row table.
+                 v0, v1, v2, n0, n1, n2, material_id,
+                 inline_cap=None) -> KDFlat:
+    """Pad each leaf's triangle block to a multiple of the inline cap,
+    gather the leaf-contiguous triangle arrays, and build the fat-row
+    table. The cap defaults to INLINE_CAP, raised to cover typical
+    leaves in one row (row gathers cost the same regardless of width —
+    FatRows docstring).
 
     Pad slots are degenerate (all-zero) triangles: Möller–Trumbore
     rejects them (det == 0), so they can never win a nearest-hit race.
     """
-    cap = INLINE_CAP
+    cap = INLINE_CAP if inline_cap is None else int(inline_cap)
     m = nodes.count
     is_leaf = nodes.axis < 0
     counts = nodes.tri_count
@@ -490,7 +496,8 @@ def _build_fat_rows(nodes: KDNodes, tris: KDTris, cap: int) -> FatRows:
 
 def build_kdtree_from_mesh(mesh, leaf_size: int = 4, max_depth: Optional[int] = None) -> KDFlat:
     """Build from a scene.structs.MeshSoA (the loadObj -> KDtree path,
-    reference: scene.cpp:860-903)."""
+    reference: scene.cpp:860-903). The fat-row inline cap follows the
+    leaf size so typical leaves fit one traversal step."""
     return build_kdtree(
         mesh.v0,
         mesh.v1,
@@ -501,6 +508,7 @@ def build_kdtree_from_mesh(mesh, leaf_size: int = 4, max_depth: Optional[int] = 
         mesh.material_id,
         leaf_size=leaf_size,
         max_depth=max_depth,
+        inline_cap=max(8, leaf_size),
     )
 
 

@@ -12,7 +12,7 @@ key table):
   key M material sort   -> --material-sort
   key K KD on/off       -> --no-kd (brute force)
   key B bbox cull       -> --no-bbox
-  key L short-stack     -> --no-short-stack (skip-link traversal)
+  key L short-stack     -> --short-stack (skip-link walk is the TPU default)
   key V KD visualization-> --viz-kd
   key T benchmark       -> --benchmark
   -/= DoF blur, [/] focal -> --dof / --focal
@@ -52,8 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sss", action="store_true", help="subsurface scattering")
     p.add_argument("--no-kd", action="store_true", help="brute-force triangle loop")
     p.add_argument("--no-bbox", action="store_true", help="disable per-shape AABB cull")
-    p.add_argument("--no-short-stack", action="store_true",
-                   help="use the stackless skip-link traversal")
+    p.add_argument("--short-stack", action="store_true",
+                   help="short-stack traversal variant (key L analog; the "
+                        "stackless skip-link walk is the faster TPU default)")
     p.add_argument("--compaction", action="store_true")
     p.add_argument("--material-sort", action="store_true")
     p.add_argument("--ray-cache", action="store_true")
@@ -124,7 +125,7 @@ def main(argv=None) -> int:
         softness=args.softness,
         enable_sss=args.sss,
         enable_kd=not args.no_kd,
-        short_stack=not args.no_short_stack,
+        short_stack=args.short_stack,
         use_bbox=not args.no_bbox,
         compaction=args.compaction,
         material_sort=args.material_sort,
@@ -185,7 +186,7 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         accum = step(accum, key, jnp.int32(it))
         if args.benchmark:
-            accum.block_until_ready()
+            float(accum[0, 0])  # host read: forces execution on tunneled devices
             dt = time.perf_counter() - t0
             times.append(dt)
             print(f"iter {it}: {dt*1e3:.2f} ms")

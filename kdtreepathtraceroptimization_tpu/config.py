@@ -51,7 +51,12 @@ class RenderConfig:
     softness: float = 0.0
     enable_sss: bool = False
     enable_kd: bool = True
-    short_stack: bool = True
+    # Traversal variant. On the reference GPU the short-stack walk wins
+    # (README.md:146-162); on TPU v5e the measured winner is the
+    # stackless skip-link walk (no per-lane stack scatter per step,
+    # ~2.7x faster), so that is the default and short_stack=True is the
+    # parity/experiment toggle.
+    short_stack: bool = False
     use_bbox: bool = True
     compaction: bool = False
     material_sort: bool = False
@@ -69,7 +74,11 @@ class RenderConfig:
     fat_rows: bool = True
     # Ray tiles per traversal: the while_loop cost is (per-tile max
     # steps) summed over tiles; coherent/miss tiles exit early.
-    traversal_tiles: int = 16
+    traversal_tiles: int = 64
+    # Sort rays by a traversal-coherence key (direction octant + origin
+    # morton, dead/miss lanes last) before tiling, so per-tile lockstep
+    # maxima approach means. Pays one argsort + permutation per bounce.
+    sort_rays: bool = True
 
     def __post_init__(self):
         if self.trace_depth > self.max_trace_depth:

@@ -487,6 +487,35 @@ def _pick_tiles(n: int, want: int) -> int:
     return t
 
 
+def _coherence_key(origin, direction, active, root_min, root_max):
+    """Sort key clustering rays that will walk the tree similarly.
+
+    Layout (most significant first): [inactive/miss-root] [direction
+    octant] [origin morton]. Inactive lanes and lanes whose ray misses
+    the root AABB sort to the back, forming tiles whose while_loop exits
+    immediately; the rest tile into direction-octant + spatial clusters
+    so per-tile lockstep maxima approach per-tile means. (The reference
+    sorts by material for warp coherence, pathtrace.cu:2600; on TPU the
+    analogous divergence is traversal length, so we sort by traversal
+    locality instead.)
+    """
+    hit_root, _ = isect.intersect_aabb(origin, direction, root_min, root_max)
+    octant = (
+        (direction[:, 0] >= 0).astype(jnp.int32)
+        + 2 * (direction[:, 1] >= 0).astype(jnp.int32)
+        + 4 * (direction[:, 2] >= 0).astype(jnp.int32)
+    )
+    # 4-bit-per-axis morton of the origin inside the root box
+    span = jnp.maximum(root_max - root_min, 1e-6)
+    q = jnp.clip(((origin - root_min) / span) * 15.0, 0.0, 15.0).astype(jnp.int32)
+    morton = jnp.zeros_like(octant)
+    for b in range(4):
+        for a in range(3):
+            morton = morton | (((q[:, a] >> b) & 1) << (3 * b + a))
+    key = (octant << 12) | morton
+    return jnp.where(active & hit_root, key, jnp.int32(1 << 20))
+
+
 def traverse_fatrow(origin, direction, kd, config: RenderConfig,
                     t_init=None, active=None) -> TriHit:
     """Fat-row traversal over ray tiles (see block comment above).
@@ -510,6 +539,16 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
 
     tiles = _pick_tiles(n, config.traversal_tiles)
     k = max(2, kd.max_depth + 2)
+
+    perm = None
+    if config.sort_rays and tiles > 1:
+        key = _coherence_key(
+            origin, direction, act,
+            jnp.asarray(kd.root_bbox_min), jnp.asarray(kd.root_bbox_max),
+        )
+        perm = jnp.argsort(key)
+        origin, direction = origin[perm], direction[perm]
+        t0, act = t0[perm], act[perm]
 
     def run_tile(args):
         o, d, t0_, act_ = args
@@ -535,6 +574,11 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
         bt, btri, bu, bv = (x.reshape(n) for x in (bt, btri, bu, bv))
     else:
         bt, btri, bu, bv = run_tile((origin, direction, t0, act))
+
+    if perm is not None:
+        # scatter results back to the caller's lane order
+        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
+        bt, btri, bu, bv = bt[inv], btri[inv], bu[inv], bv[inv]
 
     # A lane that never beat t_init reports a miss; the caller merges
     # with the analytic hit it supplied as the bound.

@@ -67,11 +67,13 @@ def time_mode(scene, mode: str, res: int, iters: int, depth: int) -> float:
     film = jnp.zeros((res * res, 3), jnp.float32)
     key = jax.random.PRNGKey(0)
     film = step(film, key, jnp.int32(1))  # compile + warm
-    film.block_until_ready()
+    float(film[0, 0])
+    # A host read per iteration provably forces execution (on tunneled
+    # devices block_until_ready alone can report enqueue time).
     t0 = time.perf_counter()
     for it in range(2, 2 + iters):
         film = step(film, key, jnp.int32(it))
-    film.block_until_ready()
+        float(film[0, 0])
     return (time.perf_counter() - t0) / iters * 1e3
 
 
