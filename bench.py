@@ -61,13 +61,14 @@ def main():
     film = step(film, key, jnp.int32(1))
     film.block_until_ready()
 
-    # Fetch a value every iteration: on the tunneled single-chip setup,
-    # block_until_ready alone has reported wildly optimistic times — only
-    # a host read provably forces execution.
+    # Chain the iterations and fetch ONE value at the end: the fetch
+    # provably forces execution of the whole chain (block_until_ready
+    # alone reported enqueue time on the tunneled device), while per-
+    # iteration host reads would add a ~30 ms tunnel round trip each.
     t0 = time.perf_counter()
     for it in range(2, 2 + iters):
         film = step(film, key, jnp.int32(it))
-        float(film[0, 0])
+    float(film[0, 0])
     dt = (time.perf_counter() - t0) / iters
 
     # rays/sec: every pixel traces up to `depth` bounces; count launched

@@ -72,6 +72,28 @@ class KDTris(NamedTuple):
         return int(self.material_id.shape[0])
 
 
+class OctantRows(NamedTuple):
+    """Per-direction-octant fat-row layouts for ordered stackless walks.
+
+    The skip-link walk visits subtrees in layout order, so its
+    t-pruning is only strong when the near child (by ray direction sign
+    on the split axis) comes first. Instead of paying a per-lane stack
+    (a scatter per step), we materialize EIGHT pre-order layouts of the
+    same tree — one per direction octant, children swapped so the near
+    child is always the pre-order successor. A ray starts at
+    ``octant * layout_size`` and all links are absolute into the big
+    table, so the traversal step stays exactly one row gather; the done
+    sentinel is ``8 * layout_size``. Rays are octant-sorted anyway
+    (traverse._coherence_key), so tiles stay layout-coherent.
+
+    8x the table memory — bytes are cheap, gathers are not.
+    """
+
+    rows: np.ndarray  # [8 * M', 12 + 9*cap] f32 (same layout as FatRows)
+    layout_size: int  # M' (rows per octant layout)
+    inline_cap: int
+
+
 class FatRows(NamedTuple):
     """Gather-optimal traversal table: ONE f32 row per traversal step.
 
@@ -115,6 +137,7 @@ class KDFlat(NamedTuple):
     root_bbox_min: np.ndarray  # [3]
     root_bbox_max: np.ndarray  # [3]
     fat: Optional[FatRows] = None
+    oct: Optional[OctantRows] = None
 
 
 def _auto_max_depth(n_tris: int, leaf_target: int) -> int:
@@ -363,6 +386,10 @@ def build_kdtree(
 
 INLINE_CAP = 8  # triangles inlined per fat row (leaf chunk granularity)
 
+# Skip building the 8x OctantRows table past this size (bytes) — huge
+# meshes fall back to the single fat-row layout rather than eating HBM.
+OCTANT_ROWS_MAX_BYTES = 4 << 30
+
 
 def _pack_kdflat(nodes, order, deepest, root_min, root_max,
                  v0, v1, v2, n0, n1, n2, material_id,
@@ -421,6 +448,10 @@ def _pack_kdflat(nodes, order, deepest, root_min, root_max,
         tri_count=counts.astype(np.int32),
     )
     fat = _build_fat_rows(nodes, tris_flat, cap)
+    octr = None
+    est_bytes = 8 * fat.rows.shape[0] * fat.rows.shape[1] * 4
+    if est_bytes <= OCTANT_ROWS_MAX_BYTES:
+        octr = _build_octant_rows(nodes, tris_flat, cap)
     return KDFlat(
         nodes=nodes,
         tris=tris_flat,
@@ -428,7 +459,23 @@ def _pack_kdflat(nodes, order, deepest, root_min, root_max,
         root_bbox_min=np.asarray(root_min, np.float32),
         root_bbox_max=np.asarray(root_max, np.float32),
         fat=fat,
+        oct=octr,
     )
+
+
+def _tri_chunk_rows(tris: KDTris, cap: int) -> np.ndarray:
+    """[T/cap, 9*cap] inline-triangle chunk rows, COMPONENT-MAJOR:
+    group g of ``cap`` floats holds component g (v0x v0y v0z v1x ... v2z)
+    of every slot. The traversal slices each component as a contiguous
+    [n, cap] block — slot-major order forced [n, cap, 3] reshapes and
+    transposes into the while-loop body, which dominated its cost
+    (measured ~87 of 97 ns/lane/step on v5e)."""
+    tri9 = np.concatenate(
+        [tris.v0, tris.v1, tris.v2], axis=1
+    ).astype(np.float32)  # [T, 9]
+    if not tri9.size:
+        return np.zeros((0, cap * 9), np.float32)
+    return tri9.reshape(-1, cap, 9).transpose(0, 2, 1).reshape(-1, 9 * cap)
 
 
 def _build_fat_rows(nodes: KDNodes, tris: KDTris, cap: int) -> FatRows:
@@ -442,11 +489,7 @@ def _build_fat_rows(nodes: KDNodes, tris: KDTris, cap: int) -> FatRows:
     width = 12 + 9 * cap
     rows = np.zeros((n_rows, width), np.float32)
 
-    # Inline triangle data, precomputed as [T/cap, 9*cap] chunk rows.
-    tri9 = np.concatenate(
-        [tris.v0, tris.v1, tris.v2], axis=1
-    ).astype(np.float32)  # [T, 9] (v0 v1 v2)
-    chunk_rows = tri9.reshape(-1, cap * 9) if tri9.size else np.zeros((0, cap * 9), np.float32)
+    chunk_rows = _tri_chunk_rows(tris, cap)
 
     cont_base = m  # continuation rows appended after the main table
     cont_cursor = m
@@ -492,6 +535,83 @@ def _build_fat_rows(nodes: KDNodes, tris: KDTris, cap: int) -> FatRows:
                 rr[12:] = chunk_rows[c0 // cap]
     assert cont_cursor == n_rows
     return FatRows(rows=rows, inline_cap=cap)
+
+
+def _build_octant_rows(nodes: KDNodes, tris: KDTris, cap: int) -> OctantRows:
+    """Eight near-first pre-order layouts, one per direction octant
+    (OctantRows docstring). Links are absolute into the [8*M'] table."""
+    m = nodes.count
+    is_leaf = nodes.axis < 0
+    counts = nodes.tri_count
+    n_chunks = np.where(is_leaf, np.maximum((counts + cap - 1) // cap, 1), 0)
+
+    # Subtree row counts (octant-independent): leaves contribute their
+    # chain length, internal nodes 1 + children.
+    size = np.zeros(m, np.int64)
+    # nodes are pre-order, so children have larger ids: reverse sweep
+    for i in range(m - 1, -1, -1):
+        if is_leaf[i]:
+            size[i] = int(n_chunks[i])
+        else:
+            s = 1
+            if nodes.left[i] >= 0:
+                s += size[nodes.left[i]]
+            if nodes.right[i] >= 0:
+                s += size[nodes.right[i]]
+            size[i] = s
+    layout_size = int(size[0]) if m else 0
+    width = 12 + 9 * cap
+    total = 8 * layout_size
+    rows = np.zeros((total, width), np.float32)
+    DONE = float(total)
+
+    chunk_rows = _tri_chunk_rows(tris, cap)
+
+    for o in range(8):
+        base = o * layout_size
+        # DFS: (orig node, assigned row id, skip target row id)
+        stack = [(0, base, DONE)] if m else []
+        while stack:
+            i, rid, skip = stack.pop()
+            if is_leaf[i]:
+                start, cnt = int(nodes.tri_start[i]), int(counts[i])
+                k_n = int(n_chunks[i])
+                for k in range(k_n):
+                    rr = rows[rid + k]
+                    c0 = start + k * cap
+                    rr[0] = -1.0
+                    rr[1:4] = nodes.bbox_min[i]
+                    rr[4:7] = nodes.bbox_max[i]
+                    rr[7] = skip
+                    rr[8] = float(rid + k + 1) if k + 1 < k_n else -1.0
+                    rr[9] = -1.0
+                    rr[10] = float(c0)
+                    rr[11] = float(max(0, min(cap, cnt - k * cap)))
+                    if rr[11] > 0:
+                        rr[12:] = chunk_rows[c0 // cap]
+                continue
+            ax = int(nodes.axis[i])
+            l, r = int(nodes.left[i]), int(nodes.right[i])
+            # near child: low side when the octant's direction is
+            # positive on the split axis (pathtrace.cu:1104-1112)
+            near, far = (l, r) if (o >> ax) & 1 else (r, l)
+            if near < 0:
+                near, far = far, -1
+            rr = rows[rid]
+            rr[0] = float(ax)
+            rr[1:4] = nodes.bbox_min[i]
+            rr[4:7] = nodes.bbox_max[i]
+            rr[7] = skip
+            rr[8] = float(rid + 1)  # pre-order successor = near child
+            rr[9] = -1.0
+            rr[10] = -1.0
+            if far >= 0:
+                far_rid = rid + 1 + int(size[near])
+                stack.append((far, far_rid, skip))
+                stack.append((near, rid + 1, float(far_rid)))
+            else:
+                stack.append((near, rid + 1, skip))
+    return OctantRows(rows=rows, layout_size=layout_size, inline_cap=cap)
 
 
 def build_kdtree_from_mesh(mesh, leaf_size: int = 4, max_depth: Optional[int] = None) -> KDFlat:

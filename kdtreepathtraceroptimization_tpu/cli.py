@@ -68,7 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print-kd-stats", action="store_true",
                    help="print KD tree stats and write the Houdini-format "
                         "bbox dump next to the output image")
-    p.add_argument("--leaf-size", type=int, default=4)
+    p.add_argument("--leaf-size", type=int, default=32,
+                   help="KD leaf size (32 measured best on TPU v5e; the "
+                        "reference uses 2, KDnode.cpp:164)")
     p.add_argument("--kd-depth", type=int, default=None)
     p.add_argument("--output", "-o", default=None, help="output path (.png or .hdr)")
     p.add_argument("--hdr", action="store_true", help="also write Radiance .hdr")

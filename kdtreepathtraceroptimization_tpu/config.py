@@ -79,6 +79,13 @@ class RenderConfig:
     # morton, dead/miss lanes last) before tiling, so per-tile lockstep
     # maxima approach means. Pays one argsort + permutation per bounce.
     sort_rays: bool = True
+    # Use the per-direction-octant near-first tree layouts
+    # (accel/kdtree.py OctantRows) for the stackless walk: short-stack-
+    # quality t-pruning (near subtree always visited first) with zero
+    # per-lane stack traffic. Costs 8x traversal-table memory; falls
+    # back to the single fat-row layout when the table was not built
+    # (see OCTANT_ROWS_MAX_BYTES) or when short_stack is on.
+    octant_rows: bool = True
 
     def __post_init__(self):
         if self.trace_depth > self.max_trace_depth:

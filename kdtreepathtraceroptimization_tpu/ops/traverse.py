@@ -310,58 +310,76 @@ def traverse_shortstack(origin, direction, kd, config: RenderConfig,
 
 
 def _mt_inline(origin, direction, tri_block, inline_n, tri_base, do_leaf,
-               best_t, best_tri, best_u, best_v):
+               best_t, best_tri):
     """Möller–Trumbore over the ``cap`` inline triangle slots of each
-    lane's current fat row. tri_block: [N, cap*9] (v0 v1 v2 per slot)."""
-    n = origin.shape[0]
-    cap = tri_block.shape[1] // 9
-    tri = tri_block.reshape(n, cap, 9)
-    tv0, tv1, tv2 = tri[..., 0:3], tri[..., 3:6], tri[..., 6:9]
+    lane's current fat row.
 
-    e1 = tv1 - tv0
-    e2 = tv2 - tv0
-    d = direction[:, None, :]
-    p = jnp.cross(d, e2)
-    a = jnp.sum(e1 * p, axis=-1)
+    tri_block: [N, 9*cap], COMPONENT-MAJOR (accel/kdtree._tri_chunk_rows):
+    group g is a contiguous [N, cap] slice holding component g of every
+    slot. Everything here is elementwise math on [N, cap] slices plus
+    min/argmin reductions — no reshapes, no transposes, no fancy-index
+    gathers (the [n, cap, 3] layout + per-lane ``t[rows, slot]`` pulls
+    cost ~10x the whole rest of the loop body on TPU). The winner's
+    u/v/t are re-derived differentiably outside the loop
+    (ops/mesh.refine_tri_hit), so only (t, tri) are tracked."""
+    cap = tri_block.shape[1] // 9
+
+    def comp(g):  # [N, cap] contiguous slice: component g of all slots
+        return tri_block[:, g * cap:(g + 1) * cap]
+
+    ox, oy, oz = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    dx, dy, dz = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
+    v0x, v0y, v0z = comp(0), comp(1), comp(2)
+    e1x, e1y, e1z = comp(3) - v0x, comp(4) - v0y, comp(5) - v0z
+    e2x, e2y, e2z = comp(6) - v0x, comp(7) - v0y, comp(8) - v0z
+
+    # p = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    a = e1x * px + e1y * py + e1z * pz
     det_ok = a > 1.19e-7  # back-face culled, as glm (intersect.inl)
     f = 1.0 / jnp.where(det_ok, a, 1.0)
-    s = origin[:, None, :] - tv0
-    u = f * jnp.sum(s * p, axis=-1)
-    q = jnp.cross(s, e1)
-    v = f * jnp.sum(d * q, axis=-1)
-    t = f * jnp.sum(e2 * q, axis=-1)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * px + sy * py + sz * pz)
+    # q = s x e1
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
 
     offs = jnp.arange(cap, dtype=jnp.int32)[None, :]
     valid = do_leaf[:, None] & (offs < inline_n[:, None])
     ok = valid & det_ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= 0)
     t = jnp.where(ok, t, BIG)
 
-    slot = jnp.argmin(t, axis=1)
-    rows = jnp.arange(n)
-    ct, cu, cv = t[rows, slot], u[rows, slot], v[rows, slot]
-    cidx = tri_base + slot
+    ct = jnp.min(t, axis=1)
+    slot = jnp.argmin(t, axis=1).astype(jnp.int32)
     better = ct < best_t
     return (
         jnp.where(better, ct, best_t),
-        jnp.where(better, cidx, best_tri),
-        jnp.where(better, cu, best_u),
-        jnp.where(better, cv, best_v),
+        jnp.where(better, tri_base + slot, best_tri),
     )
 
 
 def _fatrow_skiplink_tile(origin, direction, rows_dev, n_rows, cap,
-                          config: RenderConfig, t0, active):
-    """Stackless skip-link walk over the fat-row table for one ray tile."""
+                          config: RenderConfig, t0, active, start=None):
+    """Stackless skip-link walk over the fat-row table for one ray tile.
+
+    ``start``: per-lane entry row (used by the octant layouts, where a
+    ray enters at ``octant * layout_size``); default row 0.
+    """
     n = origin.shape[0]
 
     def cond(state):
-        cur, bt, btri, bu, bv, steps = state
+        cur, bt, btri, steps = state
         return jnp.logical_and(
             jnp.any(cur < n_rows), steps < config.max_traversal_steps
         )
 
     def body(state):
-        cur, bt, btri, bu, bv, steps = state
+        cur, bt, btri, steps = state
         lane_on = cur < n_rows
         cur_c = jnp.clip(cur, 0, n_rows - 1)
 
@@ -378,27 +396,26 @@ def _fatrow_skiplink_tile(origin, direction, rows_dev, n_rows, cap,
         is_leaf = axis < 0
         do_leaf = lane_on & is_leaf & ~pruned
 
-        bt, btri, bu, bv = _mt_inline(
+        bt, btri = _mt_inline(
             origin, direction, row[:, 12:], inline_n, tri_base, do_leaf,
-            bt, btri, bu, bv,
+            bt, btri,
         )
 
         # leaf: continuation chain else skip out; internal: descend left.
         leaf_next = jnp.where(nxt_link >= 0, nxt_link, skip)
         nxt = jnp.where(pruned, skip, jnp.where(is_leaf, leaf_next, nxt_link))
         cur = jnp.where(lane_on, nxt, cur)
-        return (cur, bt, btri, bu, bv, steps + 1)
+        return (cur, bt, btri, steps + 1)
 
+    entry = jnp.zeros((n,), jnp.int32) if start is None else start
     state = (
-        jnp.where(active, 0, n_rows).astype(jnp.int32),
+        jnp.where(active, entry, n_rows).astype(jnp.int32),
         t0,
         jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
         jnp.int32(0),
     )
-    _, bt, btri, bu, bv, _ = jax.lax.while_loop(cond, body, state)
-    return bt, btri, bu, bv
+    _, bt, btri, _ = jax.lax.while_loop(cond, body, state)
+    return bt, btri
 
 
 def _fatrow_shortstack_tile(origin, direction, rows_dev, n_rows, cap,
@@ -410,13 +427,13 @@ def _fatrow_shortstack_tile(origin, direction, rows_dev, n_rows, cap,
     lanes = jnp.arange(n)
 
     def cond(state):
-        cur, sp, stack, bt, btri, bu, bv, steps = state
+        cur, sp, stack, bt, btri, steps = state
         return jnp.logical_and(
             jnp.any((cur >= 0) | (sp > 0)), steps < config.max_traversal_steps
         )
 
     def body(state):
-        cur, sp, stack, bt, btri, bu, bv, steps = state
+        cur, sp, stack, bt, btri, steps = state
         need_pop = (cur < 0) & (sp > 0)
         sp_idx = jnp.clip(sp - 1, 0, k - 1)
         cur = jnp.where(need_pop, stack[lanes, sp_idx], cur)
@@ -437,9 +454,9 @@ def _fatrow_shortstack_tile(origin, direction, rows_dev, n_rows, cap,
         is_leaf = axis < 0
         do_leaf = lane_on & is_leaf & ~pruned
 
-        bt, btri, bu, bv = _mt_inline(
+        bt, btri = _mt_inline(
             origin, direction, row[:, 12:], inline_n, tri_base, do_leaf,
-            bt, btri, bu, bv,
+            bt, btri,
         )
 
         # Near child first by ray direction sign on the split axis
@@ -463,7 +480,7 @@ def _fatrow_shortstack_tile(origin, direction, rows_dev, n_rows, cap,
             pruned, NO, jnp.where(is_leaf, leaf_next, descend_to)
         )
         cur = jnp.where(lane_on, nxt, cur)
-        return (cur, sp, stack, bt, btri, bu, bv, steps + 1)
+        return (cur, sp, stack, bt, btri, steps + 1)
 
     state = (
         jnp.where(active, 0, -1).astype(jnp.int32),
@@ -471,12 +488,10 @@ def _fatrow_shortstack_tile(origin, direction, rows_dev, n_rows, cap,
         jnp.full((n, k), -1, jnp.int32),
         t0,
         jnp.full((n,), -1, jnp.int32),
-        jnp.zeros((n,), jnp.float32),
-        jnp.zeros((n,), jnp.float32),
         jnp.int32(0),
     )
-    _, _, _, bt, btri, bu, bv, _ = jax.lax.while_loop(cond, body, state)
-    return bt, btri, bu, bv
+    _, _, _, bt, btri, _ = jax.lax.while_loop(cond, body, state)
+    return bt, btri
 
 
 def _pick_tiles(n: int, want: int) -> int:
@@ -530,8 +545,24 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
     coherent tiles (primary rays, miss-heavy regions) exit early.
     """
     fat = kd.fat
-    rows_dev = jnp.asarray(fat.rows)
-    n_rows = fat.count
+    # Octant layouts give the stackless walk near-first child ordering
+    # (strong t-pruning) at zero stack cost; the per-lane entry row is
+    # octant * layout_size (accel/kdtree.py OctantRows).
+    use_oct = (
+        config.octant_rows
+        and not config.short_stack
+        and getattr(kd, "oct", None) is not None
+        and kd.oct.layout_size > 0
+    )
+    if use_oct:
+        rows_dev = jnp.asarray(kd.oct.rows)
+        n_rows = kd.oct.rows.shape[0]
+        cap = kd.oct.inline_cap
+        layout_size = kd.oct.layout_size
+    else:
+        rows_dev = jnp.asarray(fat.rows)
+        n_rows = fat.count
+        cap = fat.inline_cap
     n = origin.shape[0]
 
     t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
@@ -540,29 +571,50 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
     tiles = _pick_tiles(n, config.traversal_tiles)
     k = max(2, kd.max_depth + 2)
 
-    perm = None
-    if config.sort_rays and tiles > 1:
+    sorted_rays = config.sort_rays and tiles > 1
+    if sorted_rays:
         key = _coherence_key(
             origin, direction, act,
             jnp.asarray(kd.root_bbox_min), jnp.asarray(kd.root_bbox_max),
         )
-        perm = jnp.argsort(key)
-        origin, direction = origin[perm], direction[perm]
-        t0, act = t0[perm], act[perm]
+        # One lax.sort carrying every per-ray field as an operand is
+        # ~100x cheaper on TPU than argsort + gathers (measured: 2.6ms
+        # vs 40ms+ at 160k lanes).
+        lane = jnp.arange(n, dtype=jnp.int32)
+        (_, lane, t0, act_i,
+         o0, o1, o2, d0, d1, d2) = jax.lax.sort(
+            (key, lane, t0, act.astype(jnp.int32),
+             origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2]),
+            num_keys=1,
+        )
+        origin = jnp.stack([o0, o1, o2], axis=1)
+        direction = jnp.stack([d0, d1, d2], axis=1)
+        act = act_i.astype(bool)
 
     def run_tile(args):
         o, d, t0_, act_ = args
         if config.short_stack:
             return _fatrow_shortstack_tile(
-                o, d, rows_dev, n_rows, fat.inline_cap, config, t0_, act_, k
+                o, d, rows_dev, n_rows, cap, config, t0_, act_, k
             )
+        start = None
+        if use_oct:
+            # Same bit convention as the builder: bit a set iff the
+            # direction is non-negative on axis a (low child first).
+            octant = (
+                (d[:, 0] >= 0).astype(jnp.int32)
+                + 2 * (d[:, 1] >= 0).astype(jnp.int32)
+                + 4 * (d[:, 2] >= 0).astype(jnp.int32)
+            )
+            start = octant * layout_size
         return _fatrow_skiplink_tile(
-            o, d, rows_dev, n_rows, fat.inline_cap, config, t0_, act_
+            o, d, rows_dev, n_rows, cap, config, t0_, act_, start=start
         )
 
     if tiles > 1:
         shp = (tiles, n // tiles)
-        bt, btri, bu, bv = jax.lax.map(
+        bt, btri = jax.lax.map(
             run_tile,
             (
                 origin.reshape(shp + (3,)),
@@ -571,19 +623,21 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
                 act.reshape(shp),
             ),
         )
-        bt, btri, bu, bv = (x.reshape(n) for x in (bt, btri, bu, bv))
+        bt, btri = bt.reshape(n), btri.reshape(n)
     else:
-        bt, btri, bu, bv = run_tile((origin, direction, t0, act))
+        bt, btri = run_tile((origin, direction, t0, act))
 
-    if perm is not None:
-        # scatter results back to the caller's lane order
-        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(n))
-        bt, btri, bu, bv = bt[inv], btri[inv], bu[inv], bv[inv]
+    if sorted_rays:
+        # un-permute by re-sorting on the original lane index
+        _, bt, btri = jax.lax.sort((lane, bt, btri), num_keys=1)
 
     # A lane that never beat t_init reports a miss; the caller merges
-    # with the analytic hit it supplied as the bound.
+    # with the analytic hit it supplied as the bound. u/v are re-derived
+    # from the winning triangle by mesh.refine_tri_hit (they are unused
+    # by tri_hit_to_hit's loop values).
     bt = jnp.where(btri >= 0, bt, BIG)
-    return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=bu, v=bv))
+    zero = jnp.zeros((n,), jnp.float32)
+    return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=zero, v=zero))
 
 
 def intersect_mesh_kd(origin, direction, kd, config: RenderConfig,

@@ -116,7 +116,7 @@ def load_scene(
     obj_path: Optional[str] = None,
     mtl_dir: Optional[str] = None,
     build_kd: bool = True,
-    leaf_size: int = 4,
+    leaf_size: int = 32,
     max_depth: Optional[int] = None,
 ) -> SceneData:
     """Load a reference-format scene file into SoA pytrees, optionally

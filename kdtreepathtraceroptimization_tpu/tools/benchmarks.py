@@ -68,12 +68,13 @@ def time_mode(scene, mode: str, res: int, iters: int, depth: int) -> float:
     key = jax.random.PRNGKey(0)
     film = step(film, key, jnp.int32(1))  # compile + warm
     float(film[0, 0])
-    # A host read per iteration provably forces execution (on tunneled
-    # devices block_until_ready alone can report enqueue time).
+    # Chain iterations; one host read at the end provably forces the
+    # whole chain (on tunneled devices block_until_ready alone can
+    # report enqueue time, and per-iteration reads add ~30ms RTT each).
     t0 = time.perf_counter()
     for it in range(2, 2 + iters):
         film = step(film, key, jnp.int32(it))
-        float(film[0, 0])
+    float(film[0, 0])
     return (time.perf_counter() - t0) / iters * 1e3
 
 
