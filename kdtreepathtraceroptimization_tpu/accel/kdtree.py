@@ -386,9 +386,12 @@ def build_kdtree(
 
 INLINE_CAP = 8  # triangles inlined per fat row (leaf chunk granularity)
 
-# Skip building the 8x OctantRows table past this size (bytes) — huge
-# meshes fall back to the single fat-row layout rather than eating HBM.
-OCTANT_ROWS_MAX_BYTES = 4 << 30
+# Skip building the 8x OctantRows table when it would exceed this many
+# ROWS: XLA's TPU gather runs ~4.4 ns/lane from tables up to ~24k rows
+# and ~12.7 ns past that (measured on v5e; the cliff is on row count,
+# not bytes), so an over-cliff octant table LOSES to the single fat-row
+# layout even with its better ordering.
+OCTANT_ROWS_MAX_ROWS = 24 * 1024
 
 
 def _pack_kdflat(nodes, order, deepest, root_min, root_max,
@@ -449,8 +452,7 @@ def _pack_kdflat(nodes, order, deepest, root_min, root_max,
     )
     fat = _build_fat_rows(nodes, tris_flat, cap)
     octr = None
-    est_bytes = 8 * fat.rows.shape[0] * fat.rows.shape[1] * 4
-    if est_bytes <= OCTANT_ROWS_MAX_BYTES:
+    if 8 * fat.rows.shape[0] <= OCTANT_ROWS_MAX_ROWS:
         octr = _build_octant_rows(nodes, tris_flat, cap)
     return KDFlat(
         nodes=nodes,

@@ -79,6 +79,12 @@ class RenderConfig:
     # morton, dead/miss lanes last) before tiling, so per-tile lockstep
     # maxima approach means. Pays one argsort + permutation per bounce.
     sort_rays: bool = True
+    # Brute-force mode (enable_kd=False) via the det-form matmul
+    # intersector (ops/mxu_bf.py): Moller-Trumbore recast as one
+    # [N,10]x[10,4T] MXU matmul + VPU epilogue (Pallas-fused on TPU).
+    # False falls back to the streaming VPU brute force (ops/mesh.py),
+    # which also honors use_bbox per-shape culling.
+    mxu_brute: bool = True
     # Use the per-direction-octant near-first tree layouts
     # (accel/kdtree.py OctantRows) for the stackless walk: short-stack-
     # quality t-pruning (near subtree always visited first) with zero

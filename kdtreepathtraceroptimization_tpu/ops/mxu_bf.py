@@ -156,9 +156,7 @@ def intersect_brute_mxu_ref(origin, direction, v0, v1, v2,
 def _bf_kernel(r_ref, w_ref, t0_ref, bt_ref, btri_ref, *, tb, rt):
     """Grid (ray_tiles, tri_blocks); tri_blocks is the inner (fast)
     dimension, accumulating the running best into the output block."""
-    j = jax.lax.rem(jax.lax.axis_index if False else 0, 1)  # placeholder
-    # real program ids
-    import jax.experimental.pallas as pl  # local alias for clarity
+    import jax.experimental.pallas as pl
 
     jj = pl.program_id(1)
 
@@ -269,3 +267,16 @@ def intersect_brute_mxu(origin, direction, v0, v1, v2, t_max=None,
     # Map padded tri ids (always < t_count because pads are culled).
     zero = jnp.zeros((n,), jnp.float32)
     return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=zero, v=zero))
+
+
+def intersect_mesh_mxu(origin, direction, mesh, t_max=None) -> TriHit:
+    """Brute-force dispatch: fused Pallas kernel on TPU, jnp/einsum
+    reference elsewhere (identical results). The winner's u/v/t are
+    re-derived by mesh.refine_tri_hit, as with the KD traversals."""
+    if jax.default_backend() == "tpu":
+        return intersect_brute_mxu(
+            origin, direction, mesh.v0, mesh.v1, mesh.v2, t_max=t_max
+        )
+    return intersect_brute_mxu_ref(
+        origin, direction, mesh.v0, mesh.v1, mesh.v2, t_max=t_max
+    )

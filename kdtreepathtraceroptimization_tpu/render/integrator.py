@@ -50,6 +50,11 @@ def intersect_scene(origin, direction, geoms, materials, mesh, kd,
             tri_hit = intersect_mesh_kd(origin, direction, kd, config,
                                         t_init=hit.t, active=active)
             mesh_hit = mesh_ops.tri_hit_to_hit(origin, direction, tri_hit, kd.tris)
+        elif config.mxu_brute:
+            from kdtreepathtraceroptimization_tpu.ops.mxu_bf import intersect_mesh_mxu
+
+            tri_hit = intersect_mesh_mxu(origin, direction, mesh, t_max=hit.t)
+            mesh_hit = mesh_ops.tri_hit_to_hit(origin, direction, tri_hit, mesh)
         else:
             tri_hit = mesh_ops.intersect_mesh_brute(
                 origin, direction, mesh, use_bbox=config.use_bbox
