@@ -73,8 +73,14 @@ class RenderConfig:
     # the thin traversals (kept as correctness oracles).
     fat_rows: bool = True
     # Ray tiles per traversal: the while_loop cost is (per-tile max
-    # steps) summed over tiles; coherent/miss tiles exit early.
-    traversal_tiles: int = 64
+    # steps) summed over tiles; coherent/miss tiles exit early. Tiles
+    # are sized to at most ``tile_lanes`` rays each: ~10k lanes/tile
+    # measured best on v5e — bigger tiles trip an XLA gather
+    # pathology (89x blowup observed at 20k lanes x 88k-row table),
+    # smaller ones pay per-tile dispatch overhead. ``traversal_tiles``
+    # caps the tile COUNT (0 = uncapped), mainly for tests.
+    tile_lanes: int = 10240
+    traversal_tiles: int = 0
     # Sort rays by a traversal-coherence key (direction octant + origin
     # morton, dead/miss lanes last) before tiling, so per-tile lockstep
     # maxima approach means. Pays one argsort + permutation per bounce.

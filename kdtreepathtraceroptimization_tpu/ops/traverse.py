@@ -494,11 +494,17 @@ def _fatrow_shortstack_tile(origin, direction, rows_dev, n_rows, cap,
     return bt, btri
 
 
-def _pick_tiles(n: int, want: int) -> int:
-    """Largest power-of-two tile count <= want that divides n."""
+def _pick_tiles(n: int, tile_lanes: int, max_tiles: int = 0) -> int:
+    """Smallest power-of-two tile count dividing n that brings each
+    tile to at most ``tile_lanes`` rays (config.tile_lanes rationale);
+    ``max_tiles`` > 0 caps the count."""
     t = 1
-    while t * 2 <= want and n % (t * 2) == 0:
+    while n // t > tile_lanes and n % (t * 2) == 0:
         t *= 2
+        if max_tiles and t >= max_tiles:
+            break
+    if max_tiles:
+        t = min(t, max_tiles)
     return t
 
 
@@ -568,7 +574,7 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
     t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
     act = jnp.ones((n,), bool) if active is None else active
 
-    tiles = _pick_tiles(n, config.traversal_tiles)
+    tiles = _pick_tiles(n, config.tile_lanes, config.traversal_tiles)
     k = max(2, kd.max_depth + 2)
 
     sorted_rays = config.sort_rays and tiles > 1

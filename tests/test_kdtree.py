@@ -153,7 +153,9 @@ def test_fatrow_matches_brute_force(short_stack, tiles):
     kd = build_kdtree(a, b, c, leaf_size=4)
     assert kd.fat is not None
     o, d = _random_rays(rng, 512)
-    cfg = RenderConfig(short_stack=short_stack, traversal_tiles=tiles)
+    # tile_lanes sized to force exactly `tiles` tiles over 512 rays
+    cfg = RenderConfig(short_stack=short_stack, tile_lanes=512 // tiles,
+                       traversal_tiles=tiles)
 
     brute = jax.jit(lambda o, d: intersect_mesh_brute(o, d, mesh, use_bbox=False))(o, d)
     kdh = jax.jit(lambda o, d: traverse_fatrow(o, d, kd, cfg))(o, d)
