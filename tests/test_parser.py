@@ -65,3 +65,31 @@ def test_sphere_objects():
     assert s.geoms.count == 8
     assert s.geoms.type[6] == GEOM_SPHERE
     assert s.geoms.material_id[7] == 5
+
+
+def test_parses_every_reference_scene_file():
+    """Keyword compatibility: every scene file shipped with the
+    reference (scenes/*.txt, parsed by scene.cpp:7-271) loads."""
+    import glob
+    import os
+
+    import pytest
+
+    ref = "/root/reference/scenes"
+    if not os.path.isdir(ref):
+        pytest.skip("reference scenes not mounted")
+    paths = sorted(glob.glob(os.path.join(ref, "*.txt")))
+    assert paths
+    for p in paths:
+        s = load_scene(p)
+        assert s.camera.resolution[0] > 0
+        assert s.materials.color.shape[0] > 0
+
+
+def test_repo_scene_variants_load_and_render():
+    import os
+
+    base = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    for name in ("cornell_duolight.txt", "sphere.txt"):
+        s = load_scene(os.path.join(base, name))
+        assert s.geoms.count >= 1
