@@ -214,6 +214,34 @@ def make_render_fn(scene, config: RenderConfig):
     return render_step
 
 
+def make_render_block_fn(scene, config: RenderConfig, block: int):
+    """Build a jitted ``(film, base_key, start_iter) -> film`` step that
+    runs ``block`` iterations inside ONE executable (lax.fori_loop over
+    iterations, bounces unrolled in the body).
+
+    On a remote/tunneled device every dispatch costs a round trip
+    (~50 ms measured on the axon tunnel); chaining iterations
+    on-device amortizes it to nothing. Compile cost is the same as the
+    single-iteration step — the loop is dynamic.
+    """
+    geoms, materials, mesh, kd, camera = (
+        scene.geoms, scene.materials, scene.mesh, scene.kd, scene.camera,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def render_block(film, base_key, start_iter):
+        def body(i, f):
+            radiance = trace_iteration(
+                geoms, materials, mesh, kd, camera, config, base_key,
+                start_iter + i,
+            )
+            return f + radiance
+
+        return jax.lax.fori_loop(0, block, body, film)
+
+    return render_block
+
+
 def render(scene, config: RenderConfig, spp: int, seed: int = 0) -> jax.Array:
     """Render ``spp`` iterations and return the averaged image [H, W, 3]."""
     res_x = int(scene.camera.resolution[0])
