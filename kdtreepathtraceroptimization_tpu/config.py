@@ -81,6 +81,10 @@ class RenderConfig:
     # caps the tile COUNT (0 = uncapped), mainly for tests.
     tile_lanes: int = 10240
     traversal_tiles: int = 0
+    # Gather-steps per while-loop iteration in the skip-link walk: the
+    # loop's fixed per-iteration cost is amortized over `unroll` steps
+    # at the price of up to unroll-1 wasted steps per lane at exit.
+    traversal_unroll: int = 4
     # Sort rays by a traversal-coherence key (direction octant + origin
     # morton, dead/miss lanes last) before tiling, so per-tile lockstep
     # maxima approach means. Pays one argsort + permutation per bounce.

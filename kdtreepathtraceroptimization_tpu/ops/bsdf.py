@@ -40,18 +40,34 @@ def gather_materials(materials, material_id) -> MaterialLanes:
     """Gather the material table rows hit by each ray.
 
     The reference reads ``materials[intersection.materialId]`` per thread
-    (pathtrace.cu:2327); here it is one batched take per field. Misses
-    (id < 0) clamp to row 0 — callers mask on hit anyway.
+    (pathtrace.cu:2327). Here the 13 material scalars are packed into ONE
+    [M, 13] row so the per-lane lookup is a single row gather — on TPU
+    gather cost is per OP, not per byte, so seven field gathers cost 7x
+    one packed gather. Misses (id < 0) clamp to row 0 — callers mask on
+    hit anyway.
     """
     mid = jnp.maximum(material_id, 0)
+    packed = jnp.concatenate(
+        [
+            jnp.asarray(materials.color, jnp.float32),
+            jnp.asarray(materials.specular_color, jnp.float32),
+            jnp.asarray(materials.has_reflective, jnp.float32)[:, None],
+            jnp.asarray(materials.has_refractive, jnp.float32)[:, None],
+            jnp.asarray(materials.index_of_refraction, jnp.float32)[:, None],
+            jnp.asarray(materials.emittance, jnp.float32)[:, None],
+            jnp.asarray(materials.transmittance, jnp.float32),
+        ],
+        axis=1,
+    )  # [M, 13] — constant-folded at trace time
+    row = packed[mid]  # [N, 13] — the one gather
     return MaterialLanes(
-        color=jnp.asarray(materials.color)[mid],
-        specular_color=jnp.asarray(materials.specular_color)[mid],
-        has_reflective=jnp.asarray(materials.has_reflective)[mid],
-        has_refractive=jnp.asarray(materials.has_refractive)[mid],
-        index_of_refraction=jnp.asarray(materials.index_of_refraction)[mid],
-        emittance=jnp.asarray(materials.emittance)[mid],
-        transmittance=jnp.asarray(materials.transmittance)[mid],
+        color=row[:, 0:3],
+        specular_color=row[:, 3:6],
+        has_reflective=row[:, 6],
+        has_refractive=row[:, 7],
+        index_of_refraction=row[:, 8],
+        emittance=row[:, 9],
+        transmittance=row[:, 10:13],
     )
 
 

@@ -372,14 +372,15 @@ def _fatrow_skiplink_tile(origin, direction, rows_dev, n_rows, cap,
     """
     n = origin.shape[0]
 
+    unroll = max(1, config.traversal_unroll)
+
     def cond(state):
         cur, bt, btri, steps = state
         return jnp.logical_and(
             jnp.any(cur < n_rows), steps < config.max_traversal_steps
         )
 
-    def body(state):
-        cur, bt, btri, steps = state
+    def one_step(cur, bt, btri):
         lane_on = cur < n_rows
         cur_c = jnp.clip(cur, 0, n_rows - 1)
 
@@ -404,8 +405,16 @@ def _fatrow_skiplink_tile(origin, direction, rows_dev, n_rows, cap,
         # leaf: continuation chain else skip out; internal: descend left.
         leaf_next = jnp.where(nxt_link >= 0, nxt_link, skip)
         nxt = jnp.where(pruned, skip, jnp.where(is_leaf, leaf_next, nxt_link))
-        cur = jnp.where(lane_on, nxt, cur)
-        return (cur, bt, btri, steps + 1)
+        return jnp.where(lane_on, nxt, cur), bt, btri
+
+    def body(state):
+        cur, bt, btri, steps = state
+        # Several steps per while iteration: the loop's fixed
+        # per-iteration cost (cond eval + state sequencing) is paid
+        # once per `unroll` gathers; finished lanes idle harmlessly.
+        for _ in range(unroll):
+            cur, bt, btri = one_step(cur, bt, btri)
+        return (cur, bt, btri, steps + unroll)
 
     entry = jnp.zeros((n,), jnp.int32) if start is None else start
     state = (

@@ -92,13 +92,22 @@ def quat_rotate(v, quat_axis, angle):
 
 
 def transform_point(mat, p):
-    """Apply a [..., 4, 4] (or [4,4]) matrix to [..., 3] points (w=1)."""
-    return jnp.einsum("...ij,...j->...i", mat[..., :3, :3], p) + mat[..., :3, 3]
+    """Apply a [..., 4, 4] (or [4,4]) matrix to [..., 3] points (w=1).
+
+    Written as broadcast-multiply-sum, NOT einsum: einsum lowers to a
+    batched [.., 3, 3] dot_general that XLA cannot fuse with elementwise
+    producers/consumers on TPU — the broadcast operands materialize to
+    HBM ([N, G, 3, 3] per call; measured 3.3 TB of traffic per analytic
+    iteration at 800x800). The elementwise form fuses completely.
+    """
+    r = mat[..., :3, :3]
+    return jnp.sum(r * p[..., None, :], axis=-1) + mat[..., :3, 3]
 
 
 def transform_vector(mat, v):
-    """Apply a [..., 4, 4] matrix to [..., 3] direction vectors (w=0)."""
-    return jnp.einsum("...ij,...j->...i", mat[..., :3, :3], v)
+    """Apply a [..., 4, 4] matrix to [..., 3] direction vectors (w=0).
+    Elementwise form for fusion — see transform_point."""
+    return jnp.sum(mat[..., :3, :3] * v[..., None, :], axis=-1)
 
 
 # --------------------------------------------------------------------------

@@ -220,3 +220,28 @@ def test_fatrow_t_init_and_active():
     np.testing.assert_allclose(
         np.asarray(kdh_hi.t)[hit2], bt[bt < BIG], rtol=1e-4, atol=1e-4
     )
+
+
+def test_octant_layout_matches_single_layout():
+    """The eight near-first octant layouts must produce identical hits
+    to the single pre-order layout (they reorder traversal, never
+    change the candidate set)."""
+    from kdtreepathtraceroptimization_tpu.ops.traverse import traverse_fatrow
+
+    rng = np.random.default_rng(7)
+    a, b, c = _random_soup(rng, 400)
+    kd = build_kdtree(a, b, c, leaf_size=4)
+    assert kd.oct is not None and kd.oct.layout_size > 0
+    o, d = _random_rays(rng, 1024)
+    h_oct = traverse_fatrow(o, d, kd, RenderConfig(octant_rows=True))
+    h_fat = traverse_fatrow(o, d, kd, RenderConfig(octant_rows=False))
+    np.testing.assert_allclose(
+        np.asarray(h_oct.t), np.asarray(h_fat.t), rtol=1e-5, atol=1e-5
+    )
+    # Straddling triangles are duplicated into both children
+    # (KDnode.cpp:177-187 semantics), so an exact-t tie can be won by a
+    # different COPY depending on visit order — compare source ids.
+    orig = np.asarray(kd.tris.orig_index)
+    to = np.where(np.asarray(h_oct.tri) >= 0, orig[np.asarray(h_oct.tri)], -1)
+    tf = np.where(np.asarray(h_fat.tri) >= 0, orig[np.asarray(h_fat.tri)], -1)
+    np.testing.assert_array_equal(to, tf)
