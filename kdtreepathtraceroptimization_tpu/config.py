@@ -100,7 +100,8 @@ class RenderConfig:
     # quality t-pruning (near subtree always visited first) with zero
     # per-lane stack traffic. Costs 8x traversal-table memory; falls
     # back to the single fat-row layout when the table was not built
-    # (see OCTANT_ROWS_MAX_BYTES) or when short_stack is on.
+    # (see OCTANT_ROWS_MAX_ROWS — the gather cliff is on row count,
+    # not bytes) or when short_stack is on.
     octant_rows: bool = True
 
     def __post_init__(self):

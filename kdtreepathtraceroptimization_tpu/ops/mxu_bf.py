@@ -52,6 +52,25 @@ from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
 _CULL_EPS = 1.19e-7
 
 
+def _scene_center(v0, v1, v2):
+    """Bbox center of the triangle soup, used to translate rays and
+    triangles toward the origin before building R and W.
+
+    The det-form numerators (t_num = o.n - v0.n etc.) give up classic
+    Möller–Trumbore's translation invariance (which forms s = o - v0
+    first), so scenes with coordinates far from the origin lose f32
+    bits to cancellation inside the matmul. A constant shift of both
+    rays and triangles preserves the matmul form and every output
+    (a, t, u, v are all translation invariant), and restores the
+    precision of the centered case.
+    """
+    lo = jnp.minimum(jnp.min(v0, axis=0), jnp.minimum(jnp.min(v1, axis=0),
+                                                      jnp.min(v2, axis=0)))
+    hi = jnp.maximum(jnp.max(v0, axis=0), jnp.maximum(jnp.max(v1, axis=0),
+                                                      jnp.max(v2, axis=0)))
+    return 0.5 * (lo + hi)
+
+
 def ray_features(origin: jax.Array, direction: jax.Array) -> jax.Array:
     """[N, 10] ray feature matrix R = [o, d, o x d, 1]."""
     m = jnp.cross(origin, direction)
@@ -110,13 +129,19 @@ def intersect_brute_mxu_ref(origin, direction, v0, v1, v2,
     the contraction to the MXU). Streams triangle blocks through a
     fori_loop like mesh.intersect_mesh_brute."""
     n = origin.shape[0]
+    v0 = jnp.asarray(v0, jnp.float32)
+    v1 = jnp.asarray(v1, jnp.float32)
+    v2 = jnp.asarray(v2, jnp.float32)
+    center = _scene_center(v0, v1, v2)
+    origin = jnp.asarray(origin, jnp.float32) - center
+    v0, v1, v2 = v0 - center, v1 - center, v2 - center
     t_count = v0.shape[0]
     pad = (-t_count) % block
     if pad:
         z = jnp.zeros((pad, 3), jnp.float32)
-        v0 = jnp.concatenate([jnp.asarray(v0, jnp.float32), z])
-        v1 = jnp.concatenate([jnp.asarray(v1, jnp.float32), z])
-        v2 = jnp.concatenate([jnp.asarray(v2, jnp.float32), z])
+        v0 = jnp.concatenate([v0, z])
+        v1 = jnp.concatenate([v1, z])
+        v2 = jnp.concatenate([v2, z])
     w = tri_weights(v0, v1, v2)  # [10, 4T']
     tp = v0.shape[0]
     # regroup to [T'/B, 10, 4B] so each loop step slices one block
@@ -223,7 +248,12 @@ def intersect_brute_mxu(origin, direction, v0, v1, v2, t_max=None,
     """
     n = origin.shape[0]
     npad = (-n) % ray_tile
-    origin = jnp.asarray(origin, jnp.float32)
+    v0 = jnp.asarray(v0, jnp.float32)
+    v1 = jnp.asarray(v1, jnp.float32)
+    v2 = jnp.asarray(v2, jnp.float32)
+    center = _scene_center(v0, v1, v2)
+    origin = jnp.asarray(origin, jnp.float32) - center
+    v0, v1, v2 = v0 - center, v1 - center, v2 - center
     direction = jnp.asarray(direction, jnp.float32)
     if npad:
         origin = jnp.concatenate([origin, jnp.zeros((npad, 3), jnp.float32)])
@@ -232,9 +262,9 @@ def intersect_brute_mxu(origin, direction, v0, v1, v2, t_max=None,
     tpad = (-t_count) % tri_block
     if tpad:
         z = jnp.zeros((tpad, 3), jnp.float32)
-        v0 = jnp.concatenate([jnp.asarray(v0, jnp.float32), z])
-        v1 = jnp.concatenate([jnp.asarray(v1, jnp.float32), z])
-        v2 = jnp.concatenate([jnp.asarray(v2, jnp.float32), z])
+        v0 = jnp.concatenate([v0, z])
+        v1 = jnp.concatenate([v1, z])
+        v2 = jnp.concatenate([v2, z])
 
     r = ray_features(origin, direction)  # [N', 10]
     # Pad the feature axis to 16 (sublane-friendly; zeros are inert).

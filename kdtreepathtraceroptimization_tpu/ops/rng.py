@@ -50,9 +50,14 @@ def uniforms(key: jax.Array, n_rays: int, n_samples: int,
     if method == "threefry":
         return jax.random.uniform(key, (n_rays, n_samples), dtype=jnp.float32)
     kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
-    salt = kd[0] * jnp.uint32(0x9E3779B9) ^ kd[-1]
     lane = jax.lax.broadcasted_iota(jnp.uint32, (n_rays, n_samples), 0)
     slot = jax.lax.broadcasted_iota(jnp.uint32, (n_rays, n_samples), 1)
-    x = _mix32(lane * jnp.uint32(0x9E3779B1) + slot * jnp.uint32(0x85EBCA77) + salt)
+    # Both 32-bit key words reach the stream through separate mix
+    # rounds: folding them into one 32-bit salt up front would let
+    # distinct (seed, iteration, depth) tuples birthday-collide and
+    # replay an identical uniform block for a whole bounce.
+    x = _mix32(lane * jnp.uint32(0x9E3779B1) + slot * jnp.uint32(0x85EBCA77)
+               + kd[0])
+    x = _mix32(x ^ kd[-1])
     # top 24 bits -> [0, 1) with full float32 mantissa coverage
     return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)

@@ -506,14 +506,24 @@ def _fatrow_shortstack_tile(origin, direction, rows_dev, n_rows, cap,
 def _pick_tiles(n: int, tile_lanes: int, max_tiles: int = 0) -> int:
     """Smallest power-of-two tile count dividing n that brings each
     tile to at most ``tile_lanes`` rays (config.tile_lanes rationale);
-    ``max_tiles`` > 0 caps the count."""
+    ``max_tiles`` > 0 caps the count. The result always divides n
+    (construction only ever doubles while divisible), so a
+    non-power-of-two cap is rounded DOWN to the nearest power of two
+    rather than taken verbatim — min(t, cap) with e.g. cap=3 would
+    break traverse_fatrow's reshape((tiles, n//tiles, ...))."""
+    cap = max_tiles
+    if cap:
+        p = 1
+        while p * 2 <= cap:
+            p *= 2
+        cap = p
     t = 1
     while n // t > tile_lanes and n % (t * 2) == 0:
         t *= 2
-        if max_tiles and t >= max_tiles:
+        if cap and t >= cap:
             break
-    if max_tiles:
-        t = min(t, max_tiles)
+    if cap:
+        t = min(t, cap)
     return t
 
 

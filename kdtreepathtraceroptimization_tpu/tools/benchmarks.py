@@ -28,9 +28,12 @@ import time
 
 
 MODES = {
-    # name -> RenderConfig overrides
+    # name -> RenderConfig overrides. 'brute' is the MXU det-form
+    # kernel; 'bbox' must take the streaming VPU path (mxu_brute=False)
+    # because intersect_mesh_mxu ignores per-shape AABB culling — with
+    # the default the two rows would silently measure the same code.
     "brute": dict(enable_kd=False, use_bbox=False),
-    "bbox": dict(enable_kd=False, use_bbox=True),
+    "bbox": dict(enable_kd=False, use_bbox=True, mxu_brute=False),
     "kd": dict(enable_kd=True, short_stack=False),
     "short": dict(enable_kd=True, short_stack=True),
 }
