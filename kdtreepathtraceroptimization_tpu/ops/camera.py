@@ -36,6 +36,99 @@ class RaySoA(NamedTuple):
     remaining_bounces: jax.Array  # [N] int32
 
 
+def derive_camera(resolution, fov_y_deg, position, look_at, up) -> Camera:
+    """Differentiable camera derivation (jnp version of the scene
+    parser's camera setup, reference: scene.cpp:217-234 + the basis fix
+    in runCuda, main.cpp:1118-1123).
+
+    ``resolution`` must be concrete (it fixes shapes); every other
+    argument may be a tracer, so ``jax.grad`` flows through fov,
+    position, and look_at into the rendered image.
+    """
+    import numpy as np
+
+    resolution = np.asarray(resolution, np.int32)
+    position = jnp.asarray(position, jnp.float32)
+    look_at = jnp.asarray(look_at, jnp.float32)
+    up = jnp.asarray(up, jnp.float32)
+    fov_y = jnp.asarray(fov_y_deg, jnp.float32)
+
+    yscaled = jnp.tan(jnp.deg2rad(fov_y))
+    xscaled = yscaled * resolution[0] / resolution[1]
+    fov_x = jnp.rad2deg(jnp.arctan(xscaled))
+    pixel_length = jnp.stack(
+        [2.0 * xscaled / resolution[0], 2.0 * yscaled / resolution[1]]
+    )
+
+    view = vm.normalize(look_at - position)
+    right = vm.normalize(jnp.cross(view, up))
+    up_ortho = vm.normalize(jnp.cross(right, view))
+
+    return Camera(
+        resolution=resolution,
+        position=position,
+        look_at=look_at,
+        view=view,
+        up=up_ortho,
+        right=right,
+        fov=jnp.stack([fov_x, fov_y]),
+        pixel_length=pixel_length,
+    )
+
+
+def look_from(camera: Camera, eye, look_at=None, up=None) -> Camera:
+    """Move the camera, keeping resolution/fov — the convenience the
+    reference lacked between renders (its camera only moved through the
+    mouse controller, main.cpp:1110-1185)."""
+    return derive_camera(
+        camera.resolution,
+        jnp.asarray(camera.fov)[1],
+        eye,
+        camera.look_at if look_at is None else look_at,
+        camera.up if up is None else up,
+    )
+
+
+def _spherical_state(camera: Camera):
+    """(radius, theta, phi) of the eye around look_at — the reference
+    keeps (zoom, theta, phi) as mutable globals (main.cpp:1052-1073);
+    here they are derived from the camera itself."""
+    offset = jnp.asarray(camera.position) - jnp.asarray(camera.look_at)
+    r = vm.safe_norm(offset)
+    theta = jnp.arccos(jnp.clip(offset[1] / r, -1.0, 1.0))  # polar from +y
+    phi = jnp.arctan2(offset[0], offset[2])
+    return r, theta, phi
+
+
+def orbit_camera(camera: Camera, d_phi: float = 0.0, d_theta: float = 0.0,
+                 d_zoom: float = 0.0) -> Camera:
+    """Spherical orbit + zoom about look_at (the mouse drag / scroll
+    controller, reference: main.cpp:1110-1137, 1307-1343). Any camera
+    change implies the film restarts from iteration 0, as in the
+    reference (camchanged -> iteration = 0)."""
+    r, theta, phi = _spherical_state(camera)
+    r = jnp.maximum(r + d_zoom, 1e-3)
+    # clamp polar angle away from the poles like the reference's
+    # theta clamp (main.cpp keeps theta in (0, pi))
+    theta = jnp.clip(theta + d_theta, 1e-3, jnp.pi - 1e-3)
+    phi = phi + d_phi
+    eye = jnp.asarray(camera.look_at) + r * jnp.stack(
+        [jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta), jnp.sin(theta) * jnp.cos(phi)]
+    )
+    return look_from(camera, eye, up=jnp.asarray([0.0, 1.0, 0.0]))
+
+
+def pan_camera(camera: Camera, dx: float = 0.0, dy: float = 0.0) -> Camera:
+    """Translate eye and look_at in the view plane (right-mouse pan,
+    reference: main.cpp:1329-1343)."""
+    shift = jnp.asarray(camera.right) * dx + jnp.asarray(camera.up) * dy
+    return look_from(
+        camera,
+        jnp.asarray(camera.position) + shift,
+        look_at=jnp.asarray(camera.look_at) + shift,
+    )
+
+
 def generate_rays(
     camera: Camera,
     config: RenderConfig,
@@ -46,6 +139,12 @@ def generate_rays(
 
     The pixel grid is flattened row-major (index = x + y*W, matching the
     reference's pixel indexing at pathtrace.cu:321).
+
+    Fully traceable in every continuous camera field: position, view,
+    up, right, and pixel_length may be jnp tracers, so gradients flow
+    to camera pose/intrinsics (only ``resolution`` must be concrete —
+    it fixes array shapes). Use ``derive_camera`` to build those fields
+    differentiably from (position, look_at, up, fov).
     """
     res_x = int(camera.resolution[0])
     res_y = int(camera.resolution[1])
@@ -59,7 +158,8 @@ def generate_rays(
     up = jnp.asarray(camera.up)
     right = jnp.asarray(camera.right)
     position = jnp.asarray(camera.position)
-    px, py = float(camera.pixel_length[0]), float(camera.pixel_length[1])
+    pl = jnp.asarray(camera.pixel_length)
+    px, py = pl[0], pl[1]
 
     direction = vm.normalize(
         view[None, :]

@@ -24,8 +24,40 @@ import jax.numpy as jnp
 from kdtreepathtraceroptimization_tpu.ops.camera import RaySoA
 
 
-def _permute_rays(rays: RaySoA, perm: jax.Array) -> RaySoA:
-    return RaySoA(*(f[perm] for f in rays))
+def _sort_rays_by_key(rays: RaySoA, key: jax.Array):
+    """Reorder the whole wavefront by ``key`` with ONE multi-operand
+    ``lax.sort`` carrying every per-ray field (13 scalar columns).
+
+    An argsort followed by per-field gathers costs one permutation
+    gather per column; the multi-operand sort moves all columns inside
+    the sort network instead — measured ~100x cheaper at 160k lanes on
+    v5e (see ops/traverse.py's identical pattern). Returns the permuted
+    rays plus the permutation (as the sorted original lane index).
+    """
+    n = key.shape[0]
+    lane = jnp.arange(n, dtype=jnp.int32)
+    o, d, c = rays.origin, rays.direction, rays.color
+    (_, perm,
+     o0, o1, o2, d0, d1, d2, c0, c1, c2,
+     inside, sdepth, pix, rem) = jax.lax.sort(
+        (key, lane,
+         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         c[:, 0], c[:, 1], c[:, 2],
+         rays.is_inside.astype(jnp.int32), rays.sdepth,
+         rays.pixel_index, rays.remaining_bounces),
+        num_keys=1,
+        is_stable=True,
+    )
+    out = RaySoA(
+        origin=jnp.stack([o0, o1, o2], axis=1),
+        direction=jnp.stack([d0, d1, d2], axis=1),
+        color=jnp.stack([c0, c1, c2], axis=1),
+        is_inside=inside.astype(jnp.bool_),
+        sdepth=sdepth,
+        pixel_index=pix,
+        remaining_bounces=rem,
+    )
+    return out, perm
 
 
 def compact_rays(rays: RaySoA) -> Tuple[RaySoA, jax.Array]:
@@ -37,9 +69,9 @@ def compact_rays(rays: RaySoA) -> Tuple[RaySoA, jax.Array]:
     tail where the traversal's while_loop retires them immediately.
     """
     alive = rays.remaining_bounces > 0
-    # argsort of (!alive) is a stable partition: alive lanes keep order.
-    perm = jnp.argsort(jnp.logical_not(alive), stable=True)
-    return _permute_rays(rays, perm), jnp.sum(alive.astype(jnp.int32))
+    # stable sort on (!alive) is a stable partition: alive lanes keep order.
+    out, _ = _sort_rays_by_key(rays, jnp.logical_not(alive).astype(jnp.int32))
+    return out, jnp.sum(alive.astype(jnp.int32))
 
 
 def sort_rays_by_material(rays: RaySoA, material_id: jax.Array) -> Tuple[RaySoA, jax.Array]:
@@ -50,8 +82,7 @@ def sort_rays_by_material(rays: RaySoA, material_id: jax.Array) -> Tuple[RaySoA,
     matching intersection record the same way.
     """
     key = jnp.where(rays.remaining_bounces > 0, material_id, jnp.int32(0x7FFFFFFF))
-    perm = jnp.argsort(key, stable=True)
-    return _permute_rays(rays, perm), perm
+    return _sort_rays_by_key(rays, key)
 
 
 def sort_rays_by_octant(rays: RaySoA) -> RaySoA:
@@ -66,4 +97,5 @@ def sort_rays_by_octant(rays: RaySoA) -> RaySoA:
         + 4 * (d[:, 2] >= 0).astype(jnp.int32)
     )
     key = jnp.where(rays.remaining_bounces > 0, octant, jnp.int32(8))
-    return _permute_rays(rays, jnp.argsort(key, stable=True))
+    out, _ = _sort_rays_by_key(rays, key)
+    return out

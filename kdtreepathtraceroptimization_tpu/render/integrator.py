@@ -169,12 +169,18 @@ def trace_iteration(
     return rays.color
 
 
-def make_render_fn(scene, config: RenderConfig):
+def make_render_fn(scene, config: RenderConfig, seed: int = 0):
     """Build a jitted ``(film, base_key, iteration) -> film`` step.
 
     ``film`` is the accumulated radiance sum [N, 3]; divide by the
     iteration count for display (reference: sendImageToPBO / saveImage,
     pathtrace.cu:69-89, main.cpp:1087-1108).
+
+    ``seed`` matters only with ``config.ray_cache``: the cached camera
+    rays are generated once at closure-build time from
+    ``PRNGKey(seed)`` (the reference's iteration-1 cache,
+    pathtrace.cu:2448-2456), so pass the same seed you will derive
+    ``base_key`` from.
     """
 
     geoms, materials, mesh, kd, camera = (
@@ -187,12 +193,15 @@ def make_render_fn(scene, config: RenderConfig):
 
     if config.ray_cache:
         # First-bounce ray caching (key C, pathtrace.cu:2448-2456):
-        # camera rays are generated once and reused every iteration.
+        # camera rays are generated once — at iteration 1, from the
+        # caller's seed — and reused every iteration (including their
+        # AA jitter: the reference memcpy's the cached segments
+        # verbatim each iteration too).
         from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key as _bk
 
         cached = jax.jit(
             lambda k: generate_rays(camera, config, k, config.effective_depth)
-        )(_bk(jax.random.PRNGKey(0), 1, 0))
+        )(_bk(jax.random.PRNGKey(seed), 1, 0))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def render_step(film, base_key, iteration):
@@ -249,7 +258,7 @@ def render(scene, config: RenderConfig, spp: int, seed: int = 0) -> jax.Array:
     n = res_x * res_y
     film = jnp.zeros((n, 3), jnp.float32)
     key = jax.random.PRNGKey(seed)
-    step = make_render_fn(scene, config)
+    step = make_render_fn(scene, config, seed=seed)
     for it in range(1, spp + 1):
         film = step(film, key, jnp.int32(it))
     img = film / spp
