@@ -481,61 +481,67 @@ def _tri_chunk_rows(tris: KDTris, cap: int) -> np.ndarray:
 
 
 def _build_fat_rows(nodes: KDNodes, tris: KDTris, cap: int) -> FatRows:
-    """Assemble the FatRows table (see FatRows docstring for layout)."""
+    """Assemble the FatRows table (see FatRows docstring for layout).
+
+    Fully numpy-vectorized: leaf chunk rows are laid out by a
+    repeat/cumsum expansion instead of a per-node Python loop, so the
+    build stays O(rows) numpy work even at millions of triangles (the
+    reference's largest demos: R8 1.69M verts, Gutenberg 3M+,
+    README.md:170-181).
+    """
     m = nodes.count
     is_leaf = nodes.axis < 0
-    counts = nodes.tri_count
-    n_chunks = np.where(is_leaf, np.maximum((counts + cap - 1) // cap, 1), 1)
-    extra = np.maximum(n_chunks - 1, 0)  # continuation rows per node
+    counts = nodes.tri_count.astype(np.int64)
+    n_chunks_leaf = np.maximum((counts + cap - 1) // cap, 1)
+    extra = np.where(is_leaf, n_chunks_leaf - 1, 0)
     n_rows = m + int(extra.sum())
     width = 12 + 9 * cap
     rows = np.zeros((n_rows, width), np.float32)
 
-    chunk_rows = _tri_chunk_rows(tris, cap)
-
-    cont_base = m  # continuation rows appended after the main table
-    cont_cursor = m
-    DONE = float(n_rows)
-
     # skip ids must be remapped: node i's skip is an original node id (or
     # m for done). Original ids == row ids for the first m rows, so only
     # the done sentinel changes.
-    def skipf(s):
-        return DONE if s >= m else float(s)
+    skipf = np.where(nodes.skip >= m, n_rows, nodes.skip).astype(np.float32)
 
-    for i in range(m):
-        r = rows[i]
-        r[1:4] = nodes.bbox_min[i]
-        r[4:7] = nodes.bbox_max[i]
-        r[7] = skipf(int(nodes.skip[i]))
-        if not is_leaf[i]:
-            r[0] = float(nodes.axis[i])
-            r[8] = float(nodes.left[i])
-            r[9] = float(nodes.right[i])
-            r[10] = -1.0
-            r[11] = 0.0
-            continue
-        # Leaf: head row + chain of continuation rows.
-        r[0] = -1.0
-        r[9] = -1.0
-        start, cnt = int(nodes.tri_start[i]), int(counts[i])
-        chain_ids = [i] + list(range(cont_cursor, cont_cursor + int(extra[i])))
-        cont_cursor += int(extra[i])
-        for k, rid in enumerate(chain_ids):
-            rr = rows[rid]
-            c0 = start + k * cap
-            inline_n = max(0, min(cap, cnt - k * cap))
-            rr[0] = -1.0
-            rr[1:4] = nodes.bbox_min[i]
-            rr[4:7] = nodes.bbox_max[i]
-            rr[7] = skipf(int(nodes.skip[i]))
-            rr[8] = float(chain_ids[k + 1]) if k + 1 < len(chain_ids) else -1.0
-            rr[9] = -1.0
-            rr[10] = float(c0)
-            rr[11] = float(inline_n)
-            if inline_n > 0:
-                rr[12:] = chunk_rows[c0 // cap]
-    assert cont_cursor == n_rows
+    # Node header rows [0:m] (leaf chunk fields overwritten below).
+    rows[:m, 0] = np.where(is_leaf, -1, nodes.axis).astype(np.float32)
+    rows[:m, 1:4] = nodes.bbox_min
+    rows[:m, 4:7] = nodes.bbox_max
+    rows[:m, 7] = skipf
+    rows[:m, 8] = np.where(is_leaf, -1, nodes.left).astype(np.float32)
+    rows[:m, 9] = np.where(is_leaf, -1, nodes.right).astype(np.float32)
+    rows[:m, 10] = -1.0
+    rows[:m, 11] = 0.0
+
+    leaf_ids = np.flatnonzero(is_leaf)
+    if leaf_ids.size:
+        lc = n_chunks_leaf[leaf_ids]  # chunks per leaf
+        # continuation-row base per leaf, in leaf_ids order (appended
+        # after the main table, leaf order — same as the loop version)
+        cont_start = m + np.concatenate(
+            [[0], np.cumsum(np.maximum(lc - 1, 0))[:-1]]
+        ).astype(np.int64)
+        tot = int(lc.sum())
+        rep = np.repeat(np.arange(leaf_ids.size), lc)  # leaf slot per chunk
+        chunk_of = np.concatenate([[0], np.cumsum(lc)[:-1]])
+        k = np.arange(tot) - np.repeat(chunk_of, lc)  # chunk idx in leaf
+        li = leaf_ids[rep]  # node id per chunk
+        rid = np.where(k == 0, li, cont_start[rep] + k - 1)
+        nxt = np.where(k + 1 < lc[rep], cont_start[rep] + k, -1)
+        c0 = nodes.tri_start[li].astype(np.int64) + k * cap
+        inline_n = np.clip(counts[li] - k * cap, 0, cap)
+
+        rows[rid, 0] = -1.0
+        rows[rid, 1:4] = nodes.bbox_min[li]
+        rows[rid, 4:7] = nodes.bbox_max[li]
+        rows[rid, 7] = skipf[li]
+        rows[rid, 8] = nxt.astype(np.float32)
+        rows[rid, 9] = -1.0
+        rows[rid, 10] = c0.astype(np.float32)
+        rows[rid, 11] = inline_n.astype(np.float32)
+        chunk_rows = _tri_chunk_rows(tris, cap)
+        has = inline_n > 0
+        rows[rid[has], 12:] = chunk_rows[c0[has] // cap]
     return FatRows(rows=rows, inline_cap=cap)
 
 

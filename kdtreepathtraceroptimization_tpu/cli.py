@@ -130,6 +130,10 @@ def main(argv=None) -> int:
         short_stack=args.short_stack,
         use_bbox=not args.no_bbox,
         compaction=args.compaction,
+        # Key-F parity: the reference's compaction toggle also switches
+        # to partialGather, which drops paths still alive at depth
+        # exhaustion (pathtrace.cu:2386-2399, see config.py).
+        partial_gather=args.compaction,
         material_sort=args.material_sort,
         ray_cache=args.ray_cache,
     )

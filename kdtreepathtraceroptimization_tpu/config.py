@@ -59,6 +59,15 @@ class RenderConfig:
     short_stack: bool = False
     use_bbox: bool = True
     compaction: bool = False
+    # Reference parity quirk: with compaction ON the reference gathers
+    # per bounce via partialGather (pathtrace.cu:2386-2399), which adds
+    # ONLY paths whose bounce budget hit zero — paths still alive after
+    # the final bounce are silently dropped, visibly darkening closed
+    # scenes (~20% of cornell paths survive 8 bounces). Here that
+    # behavior is an explicit flag, decoupled from ``compaction`` (which
+    # on TPU is a pure locality optimization with no image effect):
+    # enable it to match reference renders made with compaction.
+    partial_gather: bool = False
     material_sort: bool = False
     ray_cache: bool = False
     # Numerics
@@ -95,6 +104,17 @@ class RenderConfig:
     # False falls back to the streaming VPU brute force (ops/mesh.py),
     # which also honors use_bbox per-shape culling.
     mxu_brute: bool = True
+    # Packet traversal (ops/traverse._fatrow_packet_tile): rays grouped
+    # into packets of `packet_size` consecutive coherence-sorted lanes
+    # sharing ONE traversal cursor + short stack. Grounded in the
+    # measured TPU cost model (exp/micro_gather.py): an in-loop row
+    # gather costs a flat ~7 ns/lane regardless of width (pure issue
+    # latency), so per-ray cursors pay 7 ns x steps/ray; packets cut the
+    # gather to [n/P] lanes and turn AABB + inline Moller-Trumbore into
+    # dense VPU broadcasts. Incoherent packets walk more nodes (the
+    # packet visits the union of its lanes' subtrees) but never wrong
+    # ones. 0 or 1 disables (per-ray fat-row walk).
+    packet_size: int = 0
     # Use the per-direction-octant near-first tree layouts
     # (accel/kdtree.py OctantRows) for the stackless walk: short-stack-
     # quality t-pruning (near subtree always visited first) with zero

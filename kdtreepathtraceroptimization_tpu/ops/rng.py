@@ -45,12 +45,23 @@ def _mix32(x: jax.Array) -> jax.Array:
 
 
 def uniforms(key: jax.Array, n_rays: int, n_samples: int,
-             method: str = "hash") -> jax.Array:
-    """Draw a ``[n_rays, n_samples]`` block of U(0,1) samples."""
+             method: str = "hash", lane: jax.Array = None) -> jax.Array:
+    """Draw a ``[n_rays, n_samples]`` block of U(0,1) samples.
+
+    ``lane``: optional [n_rays] int stream index. Default is the array
+    position, which equals the pixel index only while the wavefront is
+    unpermuted — callers that reorder rays (compaction / material sort)
+    MUST pass the pixel index so each pixel keeps one stream regardless
+    of where its ray currently sits (the reference's per-pixel
+    ``hash(index)`` seeding, pathtrace.cu:62-66).
+    """
     if method == "threefry":
         return jax.random.uniform(key, (n_rays, n_samples), dtype=jnp.float32)
     kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
-    lane = jax.lax.broadcasted_iota(jnp.uint32, (n_rays, n_samples), 0)
+    if lane is None:
+        lane = jax.lax.broadcasted_iota(jnp.uint32, (n_rays, n_samples), 0)
+    else:
+        lane = lane.astype(jnp.uint32)[:, None]
     slot = jax.lax.broadcasted_iota(jnp.uint32, (n_rays, n_samples), 1)
     # Both 32-bit key words reach the stream through separate mix
     # rounds: folding them into one 32-bit salt up front would let

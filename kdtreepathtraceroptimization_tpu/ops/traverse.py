@@ -503,6 +503,170 @@ def _fatrow_shortstack_tile(origin, direction, rows_dev, n_rows, cap,
     return bt, btri
 
 
+def _mt_inline_packet(o, d, tri_block, inline_n, tri_base, do_leaf, lane_ok,
+                      best_t, best_tri):
+    """Möller–Trumbore over the inline slots of each PACKET's current fat
+    row: every lane of a packet tests the same ``cap`` triangles.
+
+    o, d: [npk, P, 3]; tri_block: [npk, 9*cap] component-major;
+    inline_n/tri_base/do_leaf: [npk]; lane_ok/best_t/best_tri: [npk, P].
+    All math is dense [npk, P, cap] VPU work — the packet design trades
+    the per-lane row gather (the measured 7 ns/lane/step latency wall,
+    exp/micro_gather.py) for broadcast flops, which the VPU delivers
+    ~3 orders of magnitude cheaper.
+    """
+    cap = tri_block.shape[1] // 9
+
+    def comp(g):  # [npk, 1, cap]: component g of all slots, broadcast-ready
+        return tri_block[:, None, g * cap:(g + 1) * cap]
+
+    ox, oy, oz = o[:, :, 0:1], o[:, :, 1:2], o[:, :, 2:3]  # [npk, P, 1]
+    dx, dy, dz = d[:, :, 0:1], d[:, :, 1:2], d[:, :, 2:3]
+    v0x, v0y, v0z = comp(0), comp(1), comp(2)
+    e1x, e1y, e1z = comp(3) - v0x, comp(4) - v0y, comp(5) - v0z
+    e2x, e2y, e2z = comp(6) - v0x, comp(7) - v0y, comp(8) - v0z
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    a = e1x * px + e1y * py + e1z * pz
+    det_ok = a > 1.19e-7  # back-face culled, as glm (intersect.inl)
+    f = 1.0 / jnp.where(det_ok, a, 1.0)
+    sx, sy, sz = ox - v0x, oy - v0y, oz - v0z
+    u = f * (sx * px + sy * py + sz * pz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (dx * qx + dy * qy + dz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+
+    cap_r = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+    valid = (do_leaf[:, None, None] & lane_ok[:, :, None]
+             & (cap_r < inline_n[:, None, None]))
+    ok = valid & det_ok & (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t >= 0)
+    t = jnp.where(ok, t, BIG)
+
+    ct = jnp.min(t, axis=2)  # [npk, P]
+    slot = jnp.argmin(t, axis=2).astype(jnp.int32)
+    better = ct < best_t
+    return (
+        jnp.where(better, ct, best_t),
+        jnp.where(better, tri_base[:, None] + slot, best_tri),
+    )
+
+
+def _fatrow_packet_tile(origin, direction, rows_dev, n_rows, cap,
+                        config: RenderConfig, t0, active, k, P):
+    """Packet short-stack traversal: the TPU-native headline kernel.
+
+    Re-design of the reference's hybrid short-stack walk
+    (pathtrace.cu:1023-1235) around the measured TPU cost model
+    (exp/micro_gather.py): an in-loop row gather costs a flat ~7 ns/lane
+    regardless of row width — pure issue latency — while dense VPU math
+    costs ~0.01 ns/flop/lane. So instead of one traversal cursor per RAY
+    (a [n] gather per step), rays are grouped into packets of ``P``
+    consecutive coherence-sorted lanes sharing ONE cursor: the gather
+    shrinks to [n/P] lanes (cost /P), and the per-lane AABB tests +
+    inline Möller–Trumbore become dense [npk, P(, cap)] broadcasts.
+
+    Correctness does not depend on coherence: a packet descends iff ANY
+    live lane's slab test wants the subtree (entry dist <= that lane's
+    best t), so every lane sees a superset of the nodes its own walk
+    would visit; incoherent packets only cost extra steps, never wrong
+    images. Near/far child ordering is dynamic per packet (majority
+    direction sign on the split axis), so large meshes get the pruning
+    the per-ray path only had below the octant-table cap.
+
+    State per packet: cursor, short stack [k] (far children), t-bound =
+    max over live lanes' best t. Per lane: best (t, tri).
+    """
+    n = origin.shape[0]
+    npk = n // P
+    o = origin.reshape(npk, P, 3)
+    d = direction.reshape(npk, P, 3)
+    bt = t0.reshape(npk, P)
+    act = active.reshape(npk, P)
+    NO = jnp.int32(-1)
+    pk = jnp.arange(npk)
+
+    # Packet pruning bound: lanes prune with their own bt; the PACKET
+    # prunes only when no live lane wants the node. Dead lanes never
+    # want (masked below), so they cannot extend a packet's walk.
+    def cond(state):
+        cur, sp, stack, bt, btri, steps = state
+        return jnp.logical_and(
+            jnp.any((cur >= 0) | (sp > 0)), steps < config.max_traversal_steps
+        )
+
+    def one_step(cur, sp, stack, bt, btri):
+        need_pop = (cur < 0) & (sp > 0)
+        sp_idx = jnp.clip(sp - 1, 0, k - 1)
+        cur = jnp.where(need_pop, stack[pk, sp_idx], cur)
+        sp = jnp.where(need_pop, sp - 1, sp)
+        pk_on = cur >= 0
+        cur_c = jnp.clip(cur, 0, n_rows - 1)
+
+        row = rows_dev[cur_c]  # [npk, W] — THE one (cheap) gather
+        axis = row[:, 0]
+        bmin, bmax = row[:, None, 1:4], row[:, None, 4:7]  # [npk, 1, 3]
+        left = row[:, 8].astype(jnp.int32)
+        right = row[:, 9].astype(jnp.int32)
+        tri_base = row[:, 10].astype(jnp.int32)
+        inline_n = row[:, 11].astype(jnp.int32)
+
+        hit_box, dist = isect.intersect_aabb(o, d, bmin, bmax)  # [npk, P]
+        want = act & hit_box & (dist <= bt)  # per-lane interest
+        enter = pk_on & jnp.any(want, axis=1)  # packet vote
+        is_leaf = axis < 0
+        do_leaf = enter & is_leaf
+
+        bt, btri = _mt_inline_packet(
+            o, d, row[:, 12:], inline_n, tri_base, do_leaf, act, bt, btri,
+        )
+
+        # Near/far by majority direction sign on the split axis
+        # (pathtrace.cu:1104-1112, per-packet instead of per-thread).
+        ax_c = jnp.clip(axis.astype(jnp.int32), 0, 2)
+        d_ax = jnp.take_along_axis(d, ax_c[:, None, None], axis=2)[:, :, 0]
+        vote = jnp.sum(jnp.where(act, jnp.sign(d_ax), 0.0), axis=1)
+        go_left_first = vote >= 0
+        near = jnp.where(go_left_first, left, right)
+        far = jnp.where(go_left_first, right, left)
+        descend_to = jnp.where(near >= 0, near, far)
+        push_far = enter & ~is_leaf & (near >= 0) & (far >= 0)
+
+        sp_push = jnp.clip(sp, 0, k - 1)
+        stack = stack.at[pk, sp_push].set(
+            jnp.where(push_far, far, stack[pk, sp_push])
+        )
+        sp = jnp.where(push_far & (sp < k), sp + 1, sp)
+
+        leaf_next = left  # leaf continuation chain; -1 ends it -> pop
+        nxt = jnp.where(~enter, NO, jnp.where(is_leaf, leaf_next, descend_to))
+        cur = jnp.where(pk_on, nxt, cur)
+        return cur, sp, stack, bt, btri
+
+    unroll = max(1, config.traversal_unroll)
+
+    def body(state):
+        cur, sp, stack, bt, btri, steps = state
+        for _ in range(unroll):
+            cur, sp, stack, bt, btri = one_step(cur, sp, stack, bt, btri)
+        return (cur, sp, stack, bt, btri, steps + unroll)
+
+    pk_alive = jnp.any(act, axis=1)
+    state = (
+        jnp.where(pk_alive, 0, -1).astype(jnp.int32),
+        jnp.zeros((npk,), jnp.int32),
+        jnp.full((npk, k), -1, jnp.int32),
+        bt,
+        jnp.full((npk, P), -1, jnp.int32),
+        jnp.int32(0),
+    )
+    _, _, _, bt, btri, _ = jax.lax.while_loop(cond, body, state)
+    return bt.reshape(n), btri.reshape(n)
+
+
 def _pick_tiles(n: int, tile_lanes: int, max_tiles: int = 0) -> int:
     """Smallest power-of-two tile count dividing n that brings each
     tile to at most ``tile_lanes`` rays (config.tile_lanes rationale);
@@ -570,12 +734,17 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
     coherent tiles (primary rays, miss-heavy regions) exit early.
     """
     fat = kd.fat
+    P = int(config.packet_size)
+    use_packets = P > 1
     # Octant layouts give the stackless walk near-first child ordering
     # (strong t-pruning) at zero stack cost; the per-lane entry row is
-    # octant * layout_size (accel/kdtree.py OctantRows).
+    # octant * layout_size (accel/kdtree.py OctantRows). The packet walk
+    # orders children dynamically instead, so it always uses the single
+    # fat-row table (1/8th the memory, no table-size cap).
     use_oct = (
         config.octant_rows
         and not config.short_stack
+        and not use_packets
         and getattr(kd, "oct", None) is not None
         and kd.oct.layout_size > 0
     )
@@ -593,7 +762,23 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
     t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
     act = jnp.ones((n,), bool) if active is None else active
 
+    n_orig = n
+    if use_packets and n % P != 0:
+        # Pad to a whole number of packets with dead lanes (they never
+        # vote, so they cost nothing but the pad slots themselves).
+        pad = P - n % P
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), origin.dtype)])
+        direction = jnp.concatenate(
+            [direction, jnp.ones((pad, 3), direction.dtype)]
+        )
+        t0 = jnp.concatenate([t0, jnp.full((pad,), BIG, t0.dtype)])
+        act = jnp.concatenate([act, jnp.zeros((pad,), bool)])
+        n = n + pad
+
     tiles = _pick_tiles(n, config.tile_lanes, config.traversal_tiles)
+    if use_packets:
+        while tiles > 1 and (n // tiles) % P != 0:
+            tiles //= 2
     k = max(2, kd.max_depth + 2)
 
     sorted_rays = config.sort_rays and tiles > 1
@@ -619,6 +804,10 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
 
     def run_tile(args):
         o, d, t0_, act_ = args
+        if use_packets:
+            return _fatrow_packet_tile(
+                o, d, rows_dev, n_rows, cap, config, t0_, act_, k, P
+            )
         if config.short_stack:
             return _fatrow_shortstack_tile(
                 o, d, rows_dev, n_rows, cap, config, t0_, act_, k
@@ -656,12 +845,15 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
         # un-permute by re-sorting on the original lane index
         _, bt, btri = jax.lax.sort((lane, bt, btri), num_keys=1)
 
+    if n_orig != n:
+        bt, btri = bt[:n_orig], btri[:n_orig]
+
     # A lane that never beat t_init reports a miss; the caller merges
     # with the analytic hit it supplied as the bound. u/v are re-derived
     # from the winning triangle by mesh.refine_tri_hit (they are unused
     # by tri_hit_to_hit's loop values).
     bt = jnp.where(btri >= 0, bt, BIG)
-    zero = jnp.zeros((n,), jnp.float32)
+    zero = jnp.zeros((n_orig,), jnp.float32)
     return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=zero, v=zero))
 
 

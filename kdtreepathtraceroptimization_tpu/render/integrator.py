@@ -100,7 +100,12 @@ def trace_iteration(
         )
         mat = bsdf.gather_materials(materials, hit.material_id)
 
-        u = uniforms(bounce_key(base_key, iteration, depth + 1), n, 8)
+        # Streams are keyed by PIXEL, not wavefront position: compaction
+        # and material sort permute lanes, and a position-keyed stream
+        # would make the image depend on the permutation (the reference
+        # seeds per pixel index, pathtrace.cu:62-66).
+        u = uniforms(bounce_key(base_key, iteration, depth + 1), n, 8,
+                     lane=rays.pixel_index)
 
         scattered = bsdf.scatter(
             rays.origin,
@@ -160,13 +165,16 @@ def trace_iteration(
     # finalGather (reference: pathtrace.cu:2373-2383): every path adds its
     # accumulated color to its pixel. Without reordering pixel_index is
     # the identity and this is just the color array; with compaction or
-    # material sort it is a scatter.
+    # material sort it is a scatter. ``partial_gather`` reproduces the
+    # reference's compaction-mode gather (pathtrace.cu:2386-2399), which
+    # drops paths still alive after the last bounce (see config.py).
+    color = rays.color
+    if config.partial_gather:
+        color = jnp.where((rays.remaining_bounces == 0)[:, None], color, 0.0)
     if config.material_sort or config.compaction:
-        n_px = rays.color.shape[0]
-        return jnp.zeros((n_px, 3), rays.color.dtype).at[rays.pixel_index].set(
-            rays.color
-        )
-    return rays.color
+        n_px = color.shape[0]
+        return jnp.zeros((n_px, 3), color.dtype).at[rays.pixel_index].set(color)
+    return color
 
 
 def make_render_fn(scene, config: RenderConfig, seed: int = 0):

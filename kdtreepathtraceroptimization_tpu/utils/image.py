@@ -38,6 +38,80 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
         f.write(out)
 
 
+def read_png(path: str) -> np.ndarray:
+    """Read an 8-bit PNG into [H, W, 3] uint8 (alpha dropped).
+
+    Minimal pure-Python decoder for the golden/parity tests that diff
+    against the reference's shipped renders (/root/reference/img/*.png,
+    README.md:163-181): supports bit depth 8, color types 0/2/4/6,
+    non-interlaced, all five scanline filters.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = []
+    w = h = None
+    channels = bit_depth = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if bit_depth != 8 or interlace != 0:
+                raise ValueError("unsupported PNG (need 8-bit non-interlaced)")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+        elif tag == b"IDAT":
+            idat.append(chunk)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    img = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    off = 0
+    for y in range(h):
+        ftype = raw[off]
+        line = np.frombuffer(raw[off + 1:off + 1 + stride], np.uint8).astype(np.int32)
+        off += 1 + stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # up
+            cur = (line + prev) & 0xFF
+        else:  # sub/average/paeth need the running left pixel
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                elif ftype == 4:
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad filter {ftype}")
+        img[y] = cur.astype(np.uint8)
+        prev = cur
+    out = img.reshape(h, w, channels)
+    if channels == 1:
+        out = np.repeat(out, 3, axis=2)
+    elif channels == 2:
+        out = np.repeat(out[..., :1], 3, axis=2)
+    elif channels == 4:
+        out = out[..., :3]
+    return out
+
+
 def write_hdr(path: str, rgb_f32: np.ndarray) -> None:
     """Write an [H, W, 3] float image as uncompressed Radiance RGBE
     (reference saves HDR via stbi_write_hdr, image.cpp:41-45)."""

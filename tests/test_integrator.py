@@ -65,3 +65,18 @@ def test_specular_scene_runs():
     img = np.asarray(render(scene, cfg, spp=4, seed=0))
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_compaction_and_sort_match_baseline(cornell_scene):
+    """RNG streams are pixel-keyed, so permuting the wavefront
+    (compaction / material sort) must not change the image at all."""
+    scene = _small(cornell_scene, 32)
+    base = np.asarray(render(scene, RenderConfig(trace_depth=4), spp=2, seed=0))
+    comp = np.asarray(
+        render(scene, RenderConfig(trace_depth=4, compaction=True), spp=2, seed=0)
+    )
+    srt = np.asarray(
+        render(scene, RenderConfig(trace_depth=4, material_sort=True), spp=2, seed=0)
+    )
+    np.testing.assert_array_equal(base, comp)
+    np.testing.assert_array_equal(base, srt)

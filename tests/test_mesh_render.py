@@ -98,3 +98,39 @@ def test_mesh_visible_in_image(mesh_scene):
     # just check the render is structured and finite
     assert np.isfinite(img).all()
     assert img.max() > 0.1
+
+
+def test_first_hit_packet_equals_per_ray(mesh_scene):
+    """Packet traversal must find the same nearest hit as the per-ray
+    fat-row walk (same tree, same nearest-hit min; packets only change
+    the visit schedule)."""
+    import jax
+
+    from kdtreepathtraceroptimization_tpu.ops.camera import generate_rays
+    from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key
+    from kdtreepathtraceroptimization_tpu.ops.traverse import intersect_mesh_kd
+    from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+
+    rays = generate_rays(
+        mesh_scene.camera, RenderConfig(), bounce_key(jax.random.PRNGKey(0), 1, 0), 8
+    )
+    base = intersect_mesh_kd(
+        rays.origin, rays.direction, mesh_scene.kd, RenderConfig()
+    )
+    pk = intersect_mesh_kd(
+        rays.origin, rays.direction, mesh_scene.kd, RenderConfig(packet_size=32)
+    )
+    bt, pt = np.asarray(base.t), np.asarray(pk.t)
+    np.testing.assert_array_equal(bt < BIG, pt < BIG)
+    hits = bt < BIG
+    np.testing.assert_allclose(pt[hits], bt[hits], rtol=1e-5, atol=1e-5)
+
+
+def test_render_packet_matches_default(mesh_scene):
+    a = np.asarray(
+        render(mesh_scene, RenderConfig(trace_depth=4, packet_size=64), spp=4, seed=0)
+    )
+    b = np.asarray(
+        render(mesh_scene, RenderConfig(trace_depth=4), spp=4, seed=0)
+    )
+    np.testing.assert_allclose(a, b, atol=1e-3)
