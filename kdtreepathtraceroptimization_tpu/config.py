@@ -89,6 +89,11 @@ class RenderConfig:
     # smaller ones pay per-tile dispatch overhead. ``traversal_tiles``
     # caps the tile COUNT (0 = uncapped), mainly for tests.
     tile_lanes: int = 10240
+    # Ray lanes per tile when packet traversal is on: packets shrink the
+    # per-step gather already, so bigger tiles (more packets per
+    # while_loop step) amortize fixed per-step cost better; small tiles
+    # starve the VPU. 0 disables tiling entirely for packets.
+    packet_tile_lanes: int = 65536
     traversal_tiles: int = 0
     # Gather-steps per while-loop iteration in the skip-link walk: the
     # loop's fixed per-iteration cost is amortized over `unroll` steps

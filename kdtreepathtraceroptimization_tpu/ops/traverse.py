@@ -775,13 +775,24 @@ def traverse_fatrow(origin, direction, kd, config: RenderConfig,
         act = jnp.concatenate([act, jnp.zeros((pad,), bool)])
         n = n + pad
 
-    tiles = _pick_tiles(n, config.tile_lanes, config.traversal_tiles)
     if use_packets:
+        # Packets already shrink the gather to [n/P] lanes; tiling on
+        # top mostly adds sequential lax.map dispatches and per-step
+        # fixed overhead on tiny packet counts. One tile per
+        # ~packet_tile_lanes keeps some early-exit benefit.
+        if config.packet_tile_lanes <= 0:
+            tiles = 1
+        else:
+            tiles = _pick_tiles(n, config.packet_tile_lanes, config.traversal_tiles)
         while tiles > 1 and (n // tiles) % P != 0:
             tiles //= 2
+    else:
+        tiles = _pick_tiles(n, config.tile_lanes, config.traversal_tiles)
     k = max(2, kd.max_depth + 2)
 
-    sorted_rays = config.sort_rays and tiles > 1
+    # Packets NEED the coherence sort (a packet's cost is the union of
+    # its lanes' walks) even when there is only one tile.
+    sorted_rays = config.sort_rays and (tiles > 1 or use_packets)
     if sorted_rays:
         key = _coherence_key(
             origin, direction, act,

@@ -88,6 +88,25 @@ def trace_iteration(
     else:
         raygen_k = bounce_key(base_key, iteration, 0)
         rays = generate_rays(camera, config, raygen_k, depth_budget)
+    return trace_rays(rays, geoms, materials, mesh, kd, config,
+                      base_key, iteration)
+
+
+def trace_rays(
+    rays: "RaySoA",
+    geoms,
+    materials,
+    mesh,
+    kd,
+    config: RenderConfig,
+    base_key: jax.Array,
+    iteration: jax.Array,
+) -> jax.Array:
+    """Trace an arbitrary wavefront through the bounce loop -> radiance.
+
+    The ray-level entry under trace_iteration: used by the camera path
+    and by auxiliary estimators that need radiance along hand-built rays
+    (the edge-sampling boundary gradients, ops/edgegrad.py)."""
     n = rays.origin.shape[0]
 
     def bounce(carry, depth):
@@ -159,7 +178,7 @@ def trace_iteration(
     # pathology: scan's backward produced NaN cotangents on this body
     # where the mathematically identical unrolled graph does not
     # (observed on the CPU backend; see tests/test_grad.py).
-    for depth in range(depth_budget):
+    for depth in range(config.effective_depth):
         rays, _ = bounce(rays, jnp.int32(depth))
 
     # finalGather (reference: pathtrace.cu:2373-2383): every path adds its

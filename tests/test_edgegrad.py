@@ -1,0 +1,193 @@
+"""Edge-aware visibility gradients: FD-vs-AD on a discontinuous loss.
+
+The interior estimator provably returns zero for pure-visibility losses
+(Lambertian radiance is piecewise constant in geometry); these tests
+check that the boundary term (ops/edgegrad.py) recovers the true
+derivative of the PIXEL-INTEGRATED loss. Finite differences are taken
+on a supersampled render (4x4 per pixel), which approximates the
+box-filter pixel integral the boundary term models.
+"""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kdtreepathtraceroptimization_tpu.config import RenderConfig
+from kdtreepathtraceroptimization_tpu.ops.edgegrad import build_edges, make_render_geo
+from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
+
+SCENE = os.path.join(os.path.dirname(__file__), "..", "scenes", "cornell.txt")
+
+RES = 32
+# Supersampling factor for the FD reference. This must resolve the
+# silhouette sweep: at SS=4 an eps-sized depth (z) move sweeps < 1
+# supersample pixel and the FD is quantization noise ~2x off the truth;
+# an SS=4/8/16 convergence study showed SS=8 already matches SS=16 to a
+# few percent on every component.
+SS = 8
+
+
+def _occluder_scene():
+    """Cornell box + one dark triangle floating in front of the camera,
+    silhouetted against the bright back wall."""
+    verts = np.array(
+        [[-1.5, 3.8, 2.0], [1.5, 4.2, 2.0], [0.0, 6.2, 2.0]], np.float32
+    )
+    faces = np.array([[0, 1, 2]], np.int32)
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    for v in verts:
+        tmp.write(f"v {v[0]} {v[1]} {v[2]}\n")
+    tmp.write("f 1 2 3\n")
+    tmp.close()
+    scene = load_scene(SCENE, obj_path=tmp.name)
+    # darken the OBJ default material (last row) so the silhouette
+    # against the white back wall carries strong contrast
+    mats = scene.materials
+    color = np.asarray(mats.color).copy()
+    color[-1] = [0.02, 0.02, 0.02]
+    scene = scene._replace(materials=mats._replace(color=jnp.asarray(color)))
+    return scene, jnp.asarray(verts), faces
+
+
+def test_build_edges_topology():
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    e = build_edges(faces)
+    assert e.va.shape[0] == 5  # quad: 4 boundary + 1 shared diagonal
+    shared = (e.fb >= 0)
+    assert shared.sum() == 1
+    i = int(np.flatnonzero(shared)[0])
+    assert {int(e.va[i]), int(e.vb[i])} == {0, 2}
+
+
+def _loss_fd(scene, verts, faces, config):
+    """Supersampled forward loss: mean radiance over the image, which
+    approximates the continuous view integral (pixel assignment washes
+    out under a mean)."""
+    from kdtreepathtraceroptimization_tpu.ops.edgegrad import retris
+    from kdtreepathtraceroptimization_tpu.ops.camera import generate_rays
+    from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key
+    from kdtreepathtraceroptimization_tpu.render.integrator import trace_rays
+
+    hi = with_resolution(scene, RES * SS, RES * SS)
+
+    @jax.jit
+    def run(verts):
+        kd_t = retris(scene.kd, verts, jnp.asarray(faces))
+        f = jnp.asarray(faces)
+        mesh_t = scene.mesh._replace(
+            v0=verts[f[:, 0]], v1=verts[f[:, 1]], v2=verts[f[:, 2]]
+        )
+        rays = generate_rays(hi.camera, config, bounce_key(jax.random.PRNGKey(0), 1, 0),
+                             config.effective_depth)
+        img = trace_rays(rays, scene.geoms, scene.materials, mesh_t, kd_t,
+                         config, jax.random.PRNGKey(0), jnp.int32(1))
+        return jnp.mean(img)
+
+    return run
+
+
+@pytest.mark.parametrize("wrt", ["vertex", "camera"])
+def test_boundary_grad_matches_fd(wrt):
+    scene, verts, faces = _occluder_scene()
+    scene = with_resolution(scene, RES, RES)
+    config = RenderConfig(trace_depth=1, antialias=False)
+
+    render_geo = make_render_geo(scene, verts, faces, config,
+                                 samples_per_edge=64)
+    key = jax.random.PRNGKey(0)
+    cam_pos = jnp.asarray(scene.camera.position)
+
+    def loss_ad(verts, cam_pos):
+        return jnp.mean(render_geo(verts, cam_pos, key, jnp.int32(1)))
+
+    gv, gc = jax.jit(jax.grad(loss_ad, argnums=(0, 1)))(verts, cam_pos)
+    gv, gc = np.asarray(gv), np.asarray(gc)
+    assert np.isfinite(gv).all() and np.isfinite(gc).all()
+
+    fd_loss = _loss_fd(scene, verts, faces, config)
+
+    if wrt == "vertex":
+        assert np.abs(gv).max() > 0, "boundary vertex gradient is zero"
+        # check the two largest components
+        picks = np.argsort(np.abs(gv).ravel())[-2:]
+        eps = 0.08
+        for idx in picks:
+            i, c = divmod(int(idx), 3)
+            e = np.zeros_like(np.asarray(verts))
+            e[i, c] = eps
+            fd = (float(fd_loss(verts + e)) - float(fd_loss(verts - e))) / (2 * eps)
+            ad = float(gv[i, c])
+            assert abs(fd - ad) <= 0.25 * max(abs(fd), abs(ad)), (
+                f"vertex[{i},{c}]: fd={fd} ad={ad}"
+            )
+    else:
+        # Camera translation needs a spatially-WEIGHTED loss: under a
+        # mean loss, coverage is translation-invariant and the true
+        # gradient is ~0. A per-column ramp weight makes the silhouette
+        # sweep first-order visible. The FD must also isolate the MESH
+        # boundary (a camera move sweeps the analytic box/light
+        # silhouettes too, which the mesh-edge estimator deliberately
+        # does not sample — module docstring), so it differences
+        # against the same render WITHOUT the occluder.
+        from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key
+        from kdtreepathtraceroptimization_tpu.ops.camera import generate_rays
+        from kdtreepathtraceroptimization_tpu.ops.edgegrad import retris
+        from kdtreepathtraceroptimization_tpu.render.integrator import trace_rays
+
+        ramp_lo = (jnp.arange(RES * RES) % RES).astype(jnp.float32) / RES
+        ramp_hi = (
+            (jnp.arange(RES * SS * RES * SS) % (RES * SS)) // SS
+        ).astype(jnp.float32) / RES
+
+        def loss_ad_ramp(verts, cam_pos):
+            img = render_geo(verts, cam_pos, key, jnp.int32(1))
+            return jnp.mean(img * ramp_lo[:, None])
+
+        # The FD below differences against the mesh-free render, so the
+        # AD side must too: subtract the plain scene's INTERIOR camera
+        # gradient (its analytic silhouettes cancel between the two FD
+        # renders; its smooth advection does not).
+        def loss_plain(cam_pos):
+            cam = scene.camera._replace(position=cam_pos)
+            rays = generate_rays(cam, config, bounce_key(key, 1, 0),
+                                 config.effective_depth)
+            img0 = trace_rays(rays, scene.geoms, scene.materials, None,
+                              None, config, key, jnp.int32(1))
+            return jnp.mean(img0 * ramp_lo[:, None])
+
+        gc = np.asarray(jax.jit(jax.grad(loss_ad_ramp, argnums=1))(verts, cam_pos))
+        gc = gc - np.asarray(jax.jit(jax.grad(loss_plain))(cam_pos))
+
+        hi_scene = with_resolution(scene, RES * SS, RES * SS)
+        f = jnp.asarray(faces)
+
+        @jax.jit
+        def loss_hi(cam_pos, with_mesh):
+            cam = hi_scene.camera._replace(position=cam_pos)
+            rays = generate_rays(cam, config, bounce_key(key, 1, 0),
+                                 config.effective_depth)
+            kd_t = retris(scene.kd, verts, f)
+            mesh_t = scene.mesh._replace(
+                v0=verts[f[:, 0]], v1=verts[f[:, 1]], v2=verts[f[:, 2]]
+            )
+            img_m = trace_rays(rays, scene.geoms, scene.materials, mesh_t,
+                               kd_t, config, key, jnp.int32(1))
+            img_0 = trace_rays(rays, scene.geoms, scene.materials, None,
+                               None, config, key, jnp.int32(1))
+            return jnp.mean((img_m - img_0) * ramp_hi[:, None])
+
+        eps = 0.16  # camera sweep is small; larger step beats FD quantization
+        c = 0  # x-translation: strong near/far parallax
+        vals = []
+        for sgn in (+1.0, -1.0):
+            p = np.asarray(cam_pos).copy()
+            p[c] += sgn * eps
+            vals.append(float(loss_hi(jnp.asarray(p), True)))
+        fd = (vals[0] - vals[1]) / (2 * eps)
+        ad = float(gc[c])
+        assert abs(ad) > 1e-5, f"camera boundary gradient ~0: {gc}"
+        assert abs(fd - ad) <= 0.3 * max(abs(fd), abs(ad)), f"cam[{c}]: fd={fd} ad={ad}"

@@ -93,9 +93,11 @@ def test_reference_render_structure():
     from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
     from kdtreepathtraceroptimization_tpu.utils.image import read_png
 
+    # spp sets the correlation floor (MC noise): measured 0.80 @ 48,
+    # 0.905 @ 192, 0.937 @ 512 — 192 clears the 0.85 bar with margin.
     scene = with_resolution(load_scene(REFERENCE_CORNELL), 50, 50)
     img = np.asarray(
-        render(scene, RenderConfig(trace_depth=8, antialias=True), spp=48, seed=0)
+        render(scene, RenderConfig(trace_depth=8, antialias=True), spp=192, seed=0)
     )
     ref = read_png(REFERENCE_RENDER).astype(np.float32) / 255.0
     ref = ref.reshape(50, 16, 50, 16, 3).mean(axis=(1, 3))
