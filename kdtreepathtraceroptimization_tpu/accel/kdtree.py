@@ -450,6 +450,7 @@ def _pack_kdflat(nodes, order, deepest, root_min, root_max,
         tri_start=new_start.astype(np.int32),
         tri_count=counts.astype(np.int32),
     )
+    nodes = _refit_nodes(nodes, tris_flat)
     fat = _build_fat_rows(nodes, tris_flat, cap)
     octr = None
     if 8 * fat.rows.shape[0] <= OCTANT_ROWS_MAX_ROWS:
@@ -463,6 +464,51 @@ def _pack_kdflat(nodes, order, deepest, root_min, root_max,
         fat=fat,
         oct=octr,
     )
+
+
+def _refit_nodes(nodes: "KDNodes", tris: "KDTris",
+                 pad: float = 1e-3) -> "KDNodes":
+    """Leaf-tight bbox refit (reference: KDnode::updateBbox,
+    KDnode.cpp:112-149, 0.001 pad).
+
+    Leaves shrink to (cell box INTERSECT union of their triangles'
+    bounds) + pad; interiors become the union of their children. Unlike
+    the reference (whose refit merges full triangle bounds and can GROW
+    a leaf past its cell), the cell intersection keeps the partition
+    property while culling sparse leaves much tighter. Exactness: every
+    surface point p of a triangle lies in some owning leaf's cell, and
+    p is inside that leaf's triangle-union bound, so the root-to-leaf
+    box chain over p survives — nearest-hit traversal is unchanged.
+    """
+    m = nodes.count
+    bmin = nodes.bbox_min.copy()
+    bmax = nodes.bbox_max.copy()
+    is_leaf = nodes.axis < 0
+    tmin = np.minimum(np.minimum(tris.v0, tris.v1), tris.v2)
+    tmax = np.maximum(np.maximum(tris.v0, tris.v1), tris.v2)
+    for i in np.flatnonzero(is_leaf):
+        s, c = int(nodes.tri_start[i]), int(nodes.tri_count[i])
+        if c == 0:
+            continue
+        lo = tmin[s: s + c].min(axis=0) - pad
+        hi = tmax[s: s + c].max(axis=0) + pad
+        bmin[i] = np.maximum(bmin[i], lo)
+        bmax[i] = np.minimum(bmax[i], hi)
+    # children always carry larger pre-order ids than their parent, so a
+    # single reverse sweep propagates unions bottom-up.
+    for i in range(m - 1, -1, -1):
+        l, r = nodes.left[i], nodes.right[i]
+        if l < 0 and r < 0:
+            continue
+        lo = np.full(3, np.inf, np.float32)
+        hi = np.full(3, -np.inf, np.float32)
+        for ch in (l, r):
+            if ch >= 0:
+                lo = np.minimum(lo, bmin[ch])
+                hi = np.maximum(hi, bmax[ch])
+        bmin[i] = lo
+        bmax[i] = hi
+    return nodes._replace(bbox_min=bmin, bbox_max=bmax)
 
 
 def _tri_chunk_rows(tris: KDTris, cap: int) -> np.ndarray:

@@ -128,6 +128,16 @@ class RenderConfig:
     # (see OCTANT_ROWS_MAX_ROWS — the gather cliff is on row count,
     # not bytes) or when short_stack is on.
     octant_rows: bool = True
+    # Cluster-MXU intersector (ops/cluster.py): Morton triangle blocks
+    # culled by matmul sphere bounds and intersected on the MXU —
+    # replaces the per-ray KD walk (whose data-dependent gathers cost a
+    # measured ~7 ns/lane/step on v5e; one gather buys ~500 MXU
+    # ray-tri tests). Exact: a per-ray flag reruns any ray an
+    # unselected block could still beat. Takes precedence over
+    # ``enable_kd`` when the scene has a cluster table.
+    cluster: bool = False
+    cluster_tile: int = 2048   # rays per tile (wavefront order)
+    cluster_rounds: int = 12   # entry-ordered blocks tried per tile
 
     def __post_init__(self):
         if self.trace_depth > self.max_trace_depth:

@@ -1,0 +1,403 @@
+"""Cluster-MXU triangle intersection: the TPU-native answer to KD traversal.
+
+The reference accelerates intersection with a per-thread KD walk
+(traverseKDbareShortHybrid, pathtrace.cu:1023-1235) — pointer chasing
+that GPUs do well. On TPU every data-dependent row gather costs a flat
+~7 ns/lane (measured, exp/gather_micro.py) while a Möller–Trumbore test
+in MXU matmul form costs ~0.014 ns/ray-tri (exp/cluster_micro.py, v5e,
+f32): ONE gather buys ~500 triangle tests. So instead of walking a tree
+per ray, this module:
+
+1. HOST: orders triangles by Morton code of their centroid and chunks
+   them into fixed blocks of B (pad last); per block it keeps the MT
+   weight matrix [16, 4B] (ops/mxu_bf form) and a bounding sphere.
+2. CULL (per bounce, per wavefront): conservative entry lower bound of
+   every (ray, block) pair from the bounding sphere — two [N,3]@[3,K]
+   matmuls (c.d and o.c) plus a fused VPU epilogue; no gathers.
+3. SELECT: rays are tiled in wavefront order (primary rays are pixel-
+   coherent; bounce rays inherit origin coherence). Per tile, blocks
+   are ordered by the tile-min entry bound; the first R are the tile's
+   rounds.
+4. INTERSECT: a Pallas kernel over grid (tiles, rounds) streams each
+   tile's selected weight blocks from HBM by scalar-prefetched index
+   (per-tile block lists — the block-sparse matmul pattern), running
+   the mxu_bf epilogue with a per-ray running min. A per-tile early
+   exit skips the matmul once every live ray's best t is at or below
+   the next round's entry bound.
+5. EXACTNESS: a ray whose best t still exceeds the entry bound of some
+   unselected feasible block is FLAGGED; if any ray flags, a bounded
+   second pass over all blocks (same kernel, full block list, t0 = the
+   found best) repairs it under lax.cond. flag == False proves the
+   result equals brute force, so images are exact, not approximate.
+
+No per-ray gathers, no sorts, no dynamic shapes: culling is matmuls,
+selection is a tiny per-tile argsort, intersection is MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
+from kdtreepathtraceroptimization_tpu.ops import mxu_bf
+
+
+class ClusterMesh(NamedTuple):
+    """Morton-blocked triangle table + per-block bounds.
+
+    ``tris`` is a MeshSoA in block order (padded with degenerate
+    triangles that can never win a hit) — hit triangle ids index it
+    directly, so no per-bounce id remap is needed.
+    """
+
+    w: jax.Array        # [K, 16, 4B] f32 MT weight blocks (centered)
+    centers: jax.Array  # [K, 3] f32 block bounding-sphere centers (centered)
+    radii: jax.Array    # [K] f32 bounding-sphere radii
+    center_shift: jax.Array  # [3] f32 shift applied to tris/rays (precision)
+    tris: "MeshSoA"     # block-ordered padded mesh  # noqa: F821
+    block: int          # B, triangles per block
+
+    @property
+    def n_blocks(self) -> int:
+        return int(self.centers.shape[0])
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """[N, 3] float -> 63-bit Morton codes (21 bits/axis)."""
+    lo = x.min(axis=0)
+    hi = x.max(axis=0)
+    span = np.maximum(hi - lo, 1e-12)
+    q = np.clip(((x - lo) / span * ((1 << 21) - 1)), 0, (1 << 21) - 1)
+    q = q.astype(np.uint64)
+
+    def spread(v):
+        v &= np.uint64(0x1FFFFF)
+        v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+        v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+        return v
+
+    return (
+        spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+        | (spread(q[:, 2]) << np.uint64(2))
+    )
+
+
+def build_cluster_mesh(mesh, block: int = 256) -> ClusterMesh:
+    """Host build: Morton-sort triangles, chunk into blocks of ``block``,
+    precompute MT weights + bounding spheres. O(T log T), numpy."""
+    from kdtreepathtraceroptimization_tpu.scene.structs import MeshSoA
+
+    v0 = np.asarray(mesh.v0, np.float32)
+    v1 = np.asarray(mesh.v1, np.float32)
+    v2 = np.asarray(mesh.v2, np.float32)
+    t_count = v0.shape[0]
+    cent = (v0 + v1 + v2) / 3.0
+    order = np.argsort(_morton3(cent), kind="stable")
+
+    pad = (-t_count) % block
+    idx = np.concatenate([order, np.full(pad, order[-1], np.int64)])
+    # Padded slots duplicate the last triangle but with all-equal
+    # vertices (degenerate -> MT determinant 0 -> culled, never wins).
+    def take(a, degen_from=None):
+        out = np.asarray(a)[idx].copy()
+        if pad and degen_from is not None:
+            out[t_count:] = degen_from[order[-1]]
+        return out
+
+    dv0 = v0[idx].copy()
+    dv1 = v1[idx].copy()
+    dv2 = v2[idx].copy()
+    if pad:
+        dv1[t_count:] = dv0[t_count:]
+        dv2[t_count:] = dv0[t_count:]
+
+    tris = MeshSoA(
+        v0=dv0, v1=dv1, v2=dv2,
+        n0=np.asarray(mesh.n0)[idx], n1=np.asarray(mesh.n1)[idx],
+        n2=np.asarray(mesh.n2)[idx],
+        material_id=np.asarray(mesh.material_id)[idx],
+        shape_id=np.asarray(mesh.shape_id)[idx],
+        shape_bbox_min=mesh.shape_bbox_min,
+        shape_bbox_max=mesh.shape_bbox_max,
+    )
+
+    center_shift = 0.5 * (
+        np.minimum(dv0.min(0), np.minimum(dv1.min(0), dv2.min(0)))
+        + np.maximum(dv0.max(0), np.maximum(dv1.max(0), dv2.max(0)))
+    ).astype(np.float32)
+    cv0, cv1, cv2 = dv0 - center_shift, dv1 - center_shift, dv2 - center_shift
+
+    k = cv0.shape[0] // block
+    b0 = cv0.reshape(k, block, 3)
+    b1 = cv1.reshape(k, block, 3)
+    b2 = cv2.reshape(k, block, 3)
+    lo = np.minimum(b0.min(1), np.minimum(b1.min(1), b2.min(1)))
+    hi = np.maximum(b0.max(1), np.maximum(b1.max(1), b2.max(1)))
+    centers = 0.5 * (lo + hi)
+    radii = 0.5 * np.linalg.norm(hi - lo, axis=1) + 1e-5
+
+    w = np.asarray(
+        mxu_bf.tri_weights(jnp.asarray(cv0), jnp.asarray(cv1), jnp.asarray(cv2))
+    )  # [10, 4*K*B] grouped [a|t|u|v] over ALL tris
+    w = (
+        w.reshape(10, 4, k, block)
+        .transpose(2, 0, 1, 3)
+        .reshape(k, 10, 4 * block)
+    )
+    w = np.concatenate([w, np.zeros((k, 6, 4 * block), np.float32)], axis=1)
+
+    return ClusterMesh(
+        w=jnp.asarray(w),
+        centers=jnp.asarray(centers.astype(np.float32)),
+        radii=jnp.asarray(radii.astype(np.float32)),
+        center_shift=jnp.asarray(center_shift),
+        tris=jax.tree.map(jnp.asarray, tris),
+        block=block,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cull + selection (jnp; matmuls hit the MXU, epilogue fuses on the VPU)
+# ---------------------------------------------------------------------------
+
+
+def _cull(origin, direction, cm: ClusterMesh, t_init, active, tiles, rounds):
+    """-> (sel [G, R] int32, lb [G, R] f32, dropped_min [N] f32).
+
+    entry(ray, k) = conservative lower bound of the ray's entry distance
+    into block k's bounding sphere (+inf when the sphere is missed,
+    entirely behind, or beyond the ray's current bound).
+    """
+    n = origin.shape[0]
+    g = n // tiles
+    cc = jnp.sum(cm.centers * cm.centers, axis=1)  # [K]
+    r2 = cm.radii * cm.radii
+    p1 = direction @ cm.centers.T  # [N, K] MXU
+    p2 = origin @ cm.centers.T     # [N, K] MXU
+    od = jnp.sum(origin * direction, axis=1)
+    oo = jnp.sum(origin * origin, axis=1)
+    t_ca = p1 - od[:, None]
+    dline2 = cc[None, :] - 2.0 * p2 + oo[:, None] - t_ca * t_ca
+    entry = jnp.maximum(t_ca - cm.radii[None, :], 0.0)
+    feasible = (
+        (dline2 <= r2[None, :])
+        & (t_ca + cm.radii[None, :] > 0.0)
+        & (entry < t_init[:, None])
+        & active[:, None]
+    )
+    entry = jnp.where(feasible, entry, BIG)
+
+    tile_entry = entry.reshape(g, tiles, -1).min(axis=1)  # [G, K]
+    order = jnp.argsort(tile_entry, axis=1)  # [G, K]
+    sel = order[:, :rounds].astype(jnp.int32)
+    lb = jnp.take_along_axis(tile_entry, order[:, :rounds], axis=1)
+
+    k = cm.n_blocks
+    sel_mask = jnp.zeros((g, k), bool).at[
+        jnp.arange(g)[:, None], sel
+    ].set(True)
+    dropped = jnp.where(
+        jnp.repeat(sel_mask, tiles, axis=0), BIG, entry
+    ).min(axis=1)  # [N]
+    return sel, lb, dropped
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: grid (tiles, rounds), scalar-prefetched block ids
+# ---------------------------------------------------------------------------
+
+
+def _cluster_kernel(sel_ref, lb_ref, r_ref, t0_ref, act_ref, w_ref,
+                    bt_ref, btri_ref, *, block, tile, rounds):
+    import jax.experimental.pallas as pl
+
+    g = pl.program_id(0)
+    rr = pl.program_id(1)
+
+    @pl.when(rr == 0)
+    def _init():
+        bt_ref[:, :] = t0_ref[:, :]
+        btri_ref[:, :] = jnp.full((tile, 1), -1, jnp.int32)
+
+    bt = bt_ref[:, :]  # [tile, 1]
+    act = act_ref[:, :] > 0
+    # Early exit: once every live ray's best t is <= this round's entry
+    # bound, no remaining (entry-ordered) block can improve the tile.
+    lb = lb_ref[g, rr]
+    live = jnp.any(act & (bt[:, 0:1] > lb))
+
+    @pl.when(live)
+    def _work():
+        prod = jax.lax.dot_general(
+            r_ref[:, :], w_ref[0, :, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [tile, 4B]
+        t = mxu_bf._epilogue(prod, block, bt)
+        loc = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+        lt = jnp.min(t, axis=1, keepdims=True)
+        better = lt < bt
+        tri_idx = sel_ref[g, rr] * block + loc
+        bt_ref[:, :] = jnp.where(better, lt, bt)
+        btri_ref[:, :] = jnp.where(better, tri_idx, btri_ref[:, :])
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "block", "rounds",
+                                             "interpret"))
+def _cluster_pallas(sel, lb, r, t0, act, w, tile: int, block: int,
+                    rounds: int, interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = r.shape[0]
+    g = n // tile
+    kernel = functools.partial(_cluster_kernel, block=block, tile=tile,
+                               rounds=rounds)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # sel, lb
+        grid=(g, rounds),
+        in_specs=[
+            pl.BlockSpec((tile, 16), lambda i, j, sel, lb: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j, sel, lb: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j, sel, lb: (i, 0)),
+            pl.BlockSpec((1, 16, 4 * block),
+                         lambda i, j, sel, lb: (sel[i, j], 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i, j, sel, lb: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j, sel, lb: (i, 0)),
+        ],
+    )
+    bt, btri = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(sel, lb, r, t0.reshape(n, 1), act.reshape(n, 1), w)
+    return bt.reshape(n), btri.reshape(n)
+
+
+def _cluster_ref(sel, lb, r, t0, act, w, tile: int, block: int,
+                 rounds: int):
+    """jnp reference of the round loop (CPU path / oracle)."""
+    n = r.shape[0]
+    g = n // tile
+    rt = r.reshape(g, tile, 16)
+
+    def body(carry, rr):
+        bt, btri = carry  # [G, tile]
+        wsel = w[sel[:, rr]]  # [G, 16, 4B]
+        prod = jnp.einsum("gtf,gfc->gtc", rt, wsel)
+        t = mxu_bf._epilogue(
+            prod.reshape(g * tile, 4 * block), block, bt.reshape(-1)
+        ).reshape(g, tile, block)
+        loc = jnp.argmin(t, axis=2)
+        lt = jnp.min(t, axis=2)
+        better = lt < bt
+        tri_idx = sel[:, rr][:, None] * block + loc
+        return (
+            jnp.where(better, lt, bt),
+            jnp.where(better, tri_idx.astype(jnp.int32), btri),
+        ), None
+
+    init = (
+        t0.reshape(g, tile),
+        jnp.full((g, tile), -1, jnp.int32),
+    )
+    (bt, btri), _ = jax.lax.scan(body, init, jnp.arange(rounds))
+    return bt.reshape(n), btri.reshape(n)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def intersect_mesh_cluster(origin, direction, cm: ClusterMesh, config,
+                           t_init=None, active=None,
+                           interpret: bool = False) -> TriHit:
+    """Nearest-hit over the cluster mesh; exact (brute-equal) results.
+
+    See module docstring. ``t_init`` bounds the search (analytic geoms
+    first); ``active`` lanes skip culling and can never flag.
+    """
+    n = origin.shape[0]
+    tile = config.cluster_tile
+    rounds = config.cluster_rounds
+    block = cm.block
+    k = cm.n_blocks
+    rounds = min(rounds, k)
+
+    origin = jnp.asarray(origin, jnp.float32) - cm.center_shift
+    direction = jnp.asarray(direction, jnp.float32)
+    t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
+    act = jnp.ones((n,), bool) if active is None else active
+
+    pad = (-n) % tile
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), jnp.float32)])
+        direction = jnp.concatenate([direction, jnp.zeros((pad, 3), jnp.float32)])
+        t0 = jnp.concatenate([t0, jnp.zeros((pad,), jnp.float32)])
+        act = jnp.concatenate([act, jnp.zeros((pad,), bool)])
+    npad = origin.shape[0]
+
+    sel, lb, dropped = _cull(origin, direction, cm, t0, act, tile, rounds)
+
+    # Dead lanes are removed from the MT itself (not just the cull):
+    # direction 0 -> every determinant 0 -> all culled, exactly like
+    # the pad rays. (The Pallas path's early exit would skip them, but
+    # the jnp reference round loop has no early exit.)
+    direction = jnp.where(act[:, None], direction, 0.0)
+    r = mxu_bf.ray_features(origin, direction)
+    r = jnp.concatenate([r, jnp.zeros((npad, 6), jnp.float32)], axis=1)
+    actf = act.astype(jnp.float32)
+
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    if on_tpu:
+        bt, btri = _cluster_pallas(sel, lb, r, t0, actf, cm.w,
+                                   tile, block, rounds, interpret)
+    else:
+        bt, btri = _cluster_ref(sel, lb, r, t0, actf, cm.w,
+                                tile, block, rounds)
+
+    # Exactness repair: any ray whose result could still be beaten by an
+    # unselected block reruns against ALL blocks, bounded by its best t.
+    flagged = act & (dropped < bt)
+
+    def repair(args):
+        bt, btri = args
+        g = npad // tile
+        all_sel = jnp.broadcast_to(
+            jnp.arange(k, dtype=jnp.int32)[None, :], (g, k)
+        )
+        all_lb = jnp.zeros((g, k), jnp.float32)  # no early exit bound
+        if on_tpu:
+            bt2, btri2 = _cluster_pallas(all_sel, all_lb, r, bt, actf,
+                                         cm.w, tile, block, k, interpret)
+        else:
+            bt2, btri2 = _cluster_ref(all_sel, all_lb, r, bt, actf,
+                                      cm.w, tile, block, k)
+        keep = btri2 >= 0
+        return jnp.where(keep, bt2, bt), jnp.where(keep, btri2, btri)
+
+    bt, btri = jax.lax.cond(
+        jnp.any(flagged), repair, lambda a: a, (bt, btri)
+    )
+
+    bt, btri = bt[:n], btri[:n]
+    bt = jnp.where(btri >= 0, bt, BIG)
+    zero = jnp.zeros((n,), jnp.float32)
+    return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=zero, v=zero))

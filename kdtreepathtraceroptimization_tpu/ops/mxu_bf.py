@@ -107,7 +107,12 @@ def tri_weights(v0, v1, v2) -> jax.Array:
 
 
 def _epilogue(prod, tb, t_best):
-    """Shared epilogue: [RT, 4*TB] products -> masked t [RT, TB]."""
+    """Shared epilogue: [RT, 4*TB] products -> masked t [RT, TB].
+
+    ``t_best`` may be [RT] or a column [RT, 1] (the Pallas kernel keeps
+    per-ray state 2-D to avoid Mosaic vector reshapes)."""
+    if t_best.ndim == 1:
+        t_best = t_best[:, None]
     a = prod[:, 0 * tb:1 * tb]
     tn = prod[:, 1 * tb:2 * tb]
     un = prod[:, 2 * tb:3 * tb]
@@ -120,7 +125,7 @@ def _epilogue(prod, tb, t_best):
         & (tn >= 0.0)
     )
     t = jnp.where(ok, tn / a, BIG)
-    return jnp.where(t < t_best[:, None], t, BIG)
+    return jnp.where(t < t_best, t, BIG)
 
 
 def intersect_brute_mxu_ref(origin, direction, v0, v1, v2,
@@ -180,7 +185,14 @@ def intersect_brute_mxu_ref(origin, direction, v0, v1, v2,
 
 def _bf_kernel(r_ref, w_ref, t0_ref, bt_ref, btri_ref, *, tb, rt):
     """Grid (ray_tiles, tri_blocks); tri_blocks is the inner (fast)
-    dimension, accumulating the running best into the output block."""
+    dimension, accumulating the running best into the output block.
+
+    Per-ray state (t0/bt/btri) is laid out as COLUMN vectors [n, 1]:
+    a (rt, 1) block is legal (minor dim equals the full array dim) and
+    every kernel value stays 2-D — [rt, 4tb] products reduce along
+    axis 1 (keepdims) straight into [rt, 1] with no vector reshapes,
+    which Mosaic cannot relayout. The old (1, rt) per-tile row violated
+    the (8k, 128m) block-tiling rule and never compiled on real TPU."""
     import jax.experimental.pallas as pl
 
     jj = pl.program_id(1)
@@ -188,21 +200,21 @@ def _bf_kernel(r_ref, w_ref, t0_ref, bt_ref, btri_ref, *, tb, rt):
     @pl.when(jj == 0)
     def _init():
         bt_ref[:, :] = t0_ref[:, :]
-        btri_ref[:, :] = jnp.full((1, rt), -1, jnp.int32)
+        btri_ref[:, :] = jnp.full((rt, 1), -1, jnp.int32)
 
     prod = jax.lax.dot_general(
         r_ref[:, :], w_ref[:, :],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [RT, 4*TB]
-    bt = bt_ref[0, :]
+    bt = bt_ref[:, :]  # [rt, 1]
     t = _epilogue(prod, tb, bt)
-    loc = jnp.argmin(t, axis=1).astype(jnp.int32)
-    lt = jnp.min(t, axis=1)
+    loc = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+    lt = jnp.min(t, axis=1, keepdims=True)
     better = lt < bt
     tri_idx = jj * tb + loc
-    bt_ref[0, :] = jnp.where(better, lt, bt)
-    btri_ref[0, :] = jnp.where(better, tri_idx, btri_ref[0, :])
+    bt_ref[:, :] = jnp.where(better, lt, bt)
+    btri_ref[:, :] = jnp.where(better, tri_idx, btri_ref[:, :])
 
 
 @functools.partial(jax.jit, static_argnames=("rt", "tb", "interpret"))
@@ -223,29 +235,32 @@ def _bf_pallas(r, w, t0, rt: int, tb: int, interpret: bool):
         in_specs=[
             pl.BlockSpec((rt, 16), lambda i, j: (i, 0)),
             pl.BlockSpec((16, 4 * tb), lambda i, j: (0, j)),
-            pl.BlockSpec((1, rt), lambda i, j: (i, 0)),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, rt), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, rt), lambda i, j: (i, 0)),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((rt, 1), lambda i, j: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, rt), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, rt), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(r, w, t0)
+    )(r, w, t0.reshape(n, 1))
     return bt.reshape(n), btri.reshape(n)
 
 
 def intersect_brute_mxu(origin, direction, v0, v1, v2, t_max=None,
-                        ray_tile: int = 512, tri_block: int = 512,
+                        ray_tile: int = 1024, tri_block: int = 512,
                         interpret: bool = False) -> TriHit:
     """Fused Pallas MXU brute-force intersector (module docstring).
 
     Pads rays to ``ray_tile`` and triangles to ``tri_block``; pad rays
     are aimed nowhere (direction 0 -> every a = 0 -> all culled).
+    ``ray_tile`` must be a multiple of 8 (state blocks are (rt, 1)
+    columns and Mosaic needs the sublane dim % 8 == 0).
     """
+    assert ray_tile % 8 == 0, "ray_tile must be a multiple of 8"
     n = origin.shape[0]
     npad = (-n) % ray_tile
     v0 = jnp.asarray(v0, jnp.float32)
@@ -287,9 +302,8 @@ def intersect_brute_mxu(origin, direction, v0, v1, v2, t_max=None,
     t0_full = jnp.full((origin.shape[0],), BIG, jnp.float32)
     if t_max is not None:
         t0_full = t0_full.at[:n].set(t_max)
-    t0_2d = t0_full.reshape(-1, ray_tile)
 
-    bt, btri = _bf_pallas(r, w, t0_2d, ray_tile, tri_block, interpret)
+    bt, btri = _bf_pallas(r, w, t0_full, ray_tile, tri_block, interpret)
     bt, btri = bt[:n], btri[:n]
     # Pad-slot wins are impossible (a = 0), but a lane that never beat
     # t_max reports a miss.

@@ -32,7 +32,7 @@ from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key, uniforms
 
 
 def intersect_scene(origin, direction, geoms, materials, mesh, kd,
-                    config: RenderConfig, active=None):
+                    config: RenderConfig, active=None, cmesh=None):
     """Nearest hit against analytic geoms + (optional) triangle mesh.
 
     Mirrors the dispatch in pathtrace() (reference: pathtrace.cu:2483-2559):
@@ -44,7 +44,16 @@ def intersect_scene(origin, direction, geoms, materials, mesh, kd,
     """
     hit = isect.intersect_geoms(origin, direction, geoms)
     if mesh is not None:
-        if config.enable_kd and kd is not None:
+        if config.cluster and cmesh is not None:
+            from kdtreepathtraceroptimization_tpu.ops.cluster import (
+                intersect_mesh_cluster,
+            )
+
+            tri_hit = intersect_mesh_cluster(origin, direction, cmesh, config,
+                                             t_init=hit.t, active=active)
+            mesh_hit = mesh_ops.tri_hit_to_hit(origin, direction, tri_hit,
+                                               cmesh.tris)
+        elif config.enable_kd and kd is not None:
             from kdtreepathtraceroptimization_tpu.ops.traverse import intersect_mesh_kd
 
             tri_hit = intersect_mesh_kd(origin, direction, kd, config,
@@ -74,6 +83,7 @@ def trace_iteration(
     base_key: jax.Array,
     iteration: jax.Array,
     cached_rays: "RaySoA" = None,
+    cmesh=None,
 ) -> jax.Array:
     """One full path-trace iteration -> per-pixel radiance [N, 3].
 
@@ -89,7 +99,7 @@ def trace_iteration(
         raygen_k = bounce_key(base_key, iteration, 0)
         rays = generate_rays(camera, config, raygen_k, depth_budget)
     return trace_rays(rays, geoms, materials, mesh, kd, config,
-                      base_key, iteration)
+                      base_key, iteration, cmesh=cmesh)
 
 
 def trace_rays(
@@ -101,6 +111,7 @@ def trace_rays(
     config: RenderConfig,
     base_key: jax.Array,
     iteration: jax.Array,
+    cmesh=None,
 ) -> jax.Array:
     """Trace an arbitrary wavefront through the bounce loop -> radiance.
 
@@ -115,7 +126,7 @@ def trace_rays(
 
         hit = intersect_scene(
             rays.origin, rays.direction, geoms, materials, mesh, kd, config,
-            active=active,
+            active=active, cmesh=cmesh,
         )
         mat = bsdf.gather_materials(materials, hit.material_id)
 
@@ -217,6 +228,7 @@ def make_render_fn(scene, config: RenderConfig, seed: int = 0):
         scene.kd,
         scene.camera,
     )
+    cmesh = getattr(scene, "cmesh", None)
 
     if config.ray_cache:
         # First-bounce ray caching (key C, pathtrace.cu:2448-2456):
@@ -234,7 +246,7 @@ def make_render_fn(scene, config: RenderConfig, seed: int = 0):
         def render_step(film, base_key, iteration):
             radiance = trace_iteration(
                 geoms, materials, mesh, kd, camera, config, base_key, iteration,
-                cached_rays=cached,
+                cached_rays=cached, cmesh=cmesh,
             )
             return film + radiance
 
@@ -243,7 +255,8 @@ def make_render_fn(scene, config: RenderConfig, seed: int = 0):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def render_step(film, base_key, iteration):
         radiance = trace_iteration(
-            geoms, materials, mesh, kd, camera, config, base_key, iteration
+            geoms, materials, mesh, kd, camera, config, base_key, iteration,
+            cmesh=cmesh,
         )
         return film + radiance
 
@@ -263,13 +276,14 @@ def make_render_block_fn(scene, config: RenderConfig, block: int):
     geoms, materials, mesh, kd, camera = (
         scene.geoms, scene.materials, scene.mesh, scene.kd, scene.camera,
     )
+    cmesh = getattr(scene, "cmesh", None)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def render_block(film, base_key, start_iter):
         def body(i, f):
             radiance = trace_iteration(
                 geoms, materials, mesh, kd, camera, config, base_key,
-                start_iter + i,
+                start_iter + i, cmesh=cmesh,
             )
             return f + radiance
 

@@ -118,6 +118,8 @@ def load_scene(
     build_kd: bool = True,
     leaf_size: int = 32,
     max_depth: Optional[int] = None,
+    build_cluster: bool = True,
+    cluster_block: int = 256,
 ) -> SceneData:
     """Load a reference-format scene file into SoA pytrees, optionally
     with an OBJ mesh + KD tree.
@@ -146,7 +148,16 @@ def load_scene(
             )
 
             kd = build_kdtree_from_mesh(mesh, leaf_size=leaf_size, max_depth=max_depth)
-        scene = scene._replace(mesh=mesh, materials=materials, kd=kd)
+        cmesh = None
+        if build_cluster:
+            from kdtreepathtraceroptimization_tpu.ops.cluster import (
+                build_cluster_mesh,
+            )
+
+            cmesh = build_cluster_mesh(mesh, block=cluster_block)
+        scene = scene._replace(
+            mesh=mesh, materials=materials, kd=kd, cmesh=cmesh
+        )
     return scene
 
 
@@ -313,6 +324,9 @@ def parse_scene_text(text: str, name: str = "<string>") -> SceneData:
         transform=transforms,
         inverse_transform=inverses,
         inv_transpose=np.transpose(inverses, (0, 2, 1)).copy(),
+        translation=np.array([g[2] for g in geoms], np.float32).reshape(n_geom, 3),
+        rotation=np.array([g[3] for g in geoms], np.float32).reshape(n_geom, 3),
+        scale=np.array([g[4] for g in geoms], np.float32).reshape(n_geom, 3),
     )
 
     return SceneData(

@@ -52,6 +52,13 @@ class GeomSoA(NamedTuple):
     transform: np.ndarray  # [G, 4, 4] f32
     inverse_transform: np.ndarray  # [G, 4, 4] f32
     inv_transpose: np.ndarray  # [G, 4, 4] f32
+    # Source TRS, kept like the reference's Geom (sceneStructs.h
+    # translation/rotation/scale) — used by tooling (scene writer,
+    # camera controller) and not by the render path. None when the
+    # geoms were built from raw matrices.
+    translation: np.ndarray = None  # [G, 3] f32
+    rotation: np.ndarray = None  # [G, 3] f32 degrees
+    scale: np.ndarray = None  # [G, 3] f32
 
     @property
     def count(self) -> int:
@@ -135,3 +142,4 @@ class SceneData(NamedTuple):
     state: RenderState
     mesh: Optional[MeshSoA] = None
     kd: Optional["KDFlat"] = None  # noqa: F821 — accel.flatten.KDFlat
+    cmesh: Optional["ClusterMesh"] = None  # noqa: F821 — ops.cluster

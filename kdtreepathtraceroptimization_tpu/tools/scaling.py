@@ -1,0 +1,116 @@
+"""Scaling-efficiency harness (VERDICT r1 item 7; BASELINE.json asks
+for >=80% rays/s scaling 1 chip -> N).
+
+Measures the sharded render step (parallel/sharding.py) at 1/2/4/8
+devices on whatever platform is available and reports rays/s +
+efficiency vs the 1-device run scaled linearly.
+
+On this rig only ONE real TPU chip is reachable, so the committed
+artifact (SCALING_r02.json) is produced on 8 virtual CPU devices
+(``--xla_force_host_platform_device_count``): it validates that the
+sharded program partitions with zero forward communication and that
+per-device work actually drops 1/N (wall-clock efficiency on virtual
+devices also reflects real partitioning overheads, but NOT ICI — run
+the same tool on a pod slice for hardware numbers).
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python -m kdtreepathtraceroptimization_tpu.tools.scaling --json out.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def run(res: int = 256, subdiv: int = 3, depth: int = 4, iters: int = 2,
+        device_counts=(1, 2, 4, 8), cluster: bool = True):
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from kdtreepathtraceroptimization_tpu.config import RenderConfig
+    from kdtreepathtraceroptimization_tpu.parallel.sharding import (
+        device_film, make_mesh, make_sharded_render_fn,
+    )
+    from kdtreepathtraceroptimization_tpu.scene.parser import (
+        load_scene, with_resolution,
+    )
+    from kdtreepathtraceroptimization_tpu.utils.procmesh import icosphere, write_obj
+    import os
+
+    scene_path = os.path.join(
+        os.path.dirname(__file__), "..", "..", "scenes", "cornell.txt"
+    )
+    verts, faces = icosphere(subdiv, radius=2.5, center=(0.0, 3.0, 0.0))
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    tmp.close()
+    write_obj(tmp.name, verts, faces)
+    scene = with_resolution(load_scene(scene_path, obj_path=tmp.name), res, res)
+
+    config = RenderConfig(trace_depth=depth, antialias=True, cluster=cluster,
+                          cluster_tile=1024, cluster_rounds=8)
+    n = res * res
+    rows = []
+    for nd in device_counts:
+        if nd > len(jax.devices()):
+            break
+        mesh = make_mesh(jax.devices()[:nd])
+        step = make_sharded_render_fn(scene, config, mesh)
+        key = jax.random.PRNGKey(0)
+        film = device_film(n, mesh)
+        film = step(film, key, jnp.int32(1))  # compile + warm
+        film.block_until_ready()
+        best = float("inf")
+        for rep in range(3):
+            film = device_film(n, mesh)
+            t0 = time.perf_counter()
+            for it in range(iters):
+                film = step(film, key, jnp.int32(2 + rep * iters + it))
+            film.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        rays_s = n * depth / best
+        rows.append({"devices": nd, "ms_per_iter": round(best * 1e3, 2),
+                     "rays_per_sec": round(rays_s, 1)})
+        print(f"devices={nd}: {best*1e3:8.2f} ms/iter {rays_s/1e6:7.2f} M rays/s",
+              flush=True)
+
+    base = rows[0]["rays_per_sec"]
+    for r in rows:
+        r["efficiency_vs_linear"] = round(
+            r["rays_per_sec"] / (base * r["devices"]), 3
+        )
+    return {
+        "platform": jax.default_backend(),
+        "config": {"res": res, "tris": int(len(faces)), "depth": depth,
+                   "intersector": "cluster" if cluster else "kd"},
+        "note": ("virtual CPU devices validate partitioning, not ICI; "
+                 "forward pass is communication-free by construction "
+                 "(rays sharded, scene replicated)"),
+        "rows": rows,
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--json", default=None, help="write artifact here")
+    p.add_argument("--res", type=int, default=256)
+    p.add_argument("--subdiv", type=int, default=3)
+    p.add_argument("--depth", type=int, default=4)
+    p.add_argument("--kd", action="store_true", help="KD walk instead of cluster")
+    args = p.parse_args(argv)
+    out = run(res=args.res, subdiv=args.subdiv, depth=args.depth,
+              cluster=not args.kd)
+    line = json.dumps(out, indent=1)
+    if args.json:
+        with open(args.json, "w") as f:
+            f.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

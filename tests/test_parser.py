@@ -93,3 +93,36 @@ def test_repo_scene_variants_load_and_render():
     for name in ("cornell_duolight.txt", "sphere.txt"):
         s = load_scene(os.path.join(base, name))
         assert s.geoms.count >= 1
+
+
+def test_scene_writer_roundtrip():
+    """write_scene -> parse == original SoA (tools/scene_writer.py), for
+    every repo scene file — the repo ships first-party re-emissions of
+    all 13 reference scenes."""
+    import glob
+    import io
+    import os
+
+    import numpy as np
+
+    from kdtreepathtraceroptimization_tpu.tools.scene_writer import write_scene
+    from kdtreepathtraceroptimization_tpu.scene.parser import parse_scene_text
+
+    scene_dir = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    paths = sorted(glob.glob(os.path.join(scene_dir, "*.txt")))
+    assert len(paths) >= 13, "repo must ship all reference scene equivalents"
+    for p in paths:
+        s = load_scene(p)
+        buf = io.StringIO()
+        write_scene(s, buf)
+        s2 = parse_scene_text(buf.getvalue())
+        np.testing.assert_allclose(s2.materials.color, s.materials.color,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(s2.materials.emittance,
+                                   s.materials.emittance, rtol=1e-6)
+        np.testing.assert_allclose(s2.geoms.transform, s.geoms.transform,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(s2.camera.position, s.camera.position,
+                                   rtol=1e-6)
+        assert s2.geoms.count == s.geoms.count
+        assert s2.state.iterations == s.state.iterations
