@@ -138,6 +138,13 @@ class RenderConfig:
     cluster: bool = False
     cluster_tile: int = 2048   # rays per tile (wavefront order)
     cluster_rounds: int = 12   # entry-ordered blocks tried per tile
+    # Bounce loop form. Python-unrolled (False) lets XLA fuse across
+    # bounces and sidesteps a lax.scan reverse-mode NaN pathology (see
+    # trace_rays); lax.scan (True) compiles the bounce body — including
+    # any Pallas kernels — ONCE instead of depth times, cutting compile
+    # time ~8x on big scenes. Forward-only paths (bench, CLI) use scan;
+    # differentiable paths keep the unroll.
+    scan_bounces: bool = False
 
     def __post_init__(self):
         if self.trace_depth > self.max_trace_depth:

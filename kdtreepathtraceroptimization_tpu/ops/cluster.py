@@ -146,9 +146,24 @@ def build_cluster_mesh(mesh, block: int = 256) -> ClusterMesh:
     centers = 0.5 * (lo + hi)
     radii = 0.5 * np.linalg.norm(hi - lo, axis=1) + 1e-5
 
-    w = np.asarray(
-        mxu_bf.tri_weights(jnp.asarray(cv0), jnp.asarray(cv1), jnp.asarray(cv2))
-    )  # [10, 4*K*B] grouped [a|t|u|v] over ALL tris
+    # Pure-numpy weight build (mxu_bf.tri_weights math): the host build
+    # must not touch jnp — under a tunneled backend eager ops round-trip
+    # the device and the [10, 4T] result transfer takes minutes.
+    e1 = cv1 - cv0
+    e2 = cv2 - cv0
+    nrm = np.cross(e1, e2)
+    c = np.sum(cv0 * nrm, axis=1)
+    e2xv0 = np.cross(e2, cv0)
+    v0xe1 = np.cross(cv0, e1)
+    tq = cv0.shape[0]
+    z3 = np.zeros((tq, 3), np.float32)
+    z1 = np.zeros((tq, 1), np.float32)
+    one = np.ones((tq, 1), np.float32)
+    w_a = np.concatenate([z3, -nrm, z3, z1], axis=1)
+    w_t = np.concatenate([nrm, z3, z3, -c[:, None] * one], axis=1)
+    w_u = np.concatenate([z3, -e2xv0, e2, z1], axis=1)
+    w_v = np.concatenate([z3, -v0xe1, -e1, z1], axis=1)
+    w = np.concatenate([w_a, w_t, w_u, w_v], axis=0).T.astype(np.float32)
     w = (
         w.reshape(10, 4, k, block)
         .transpose(2, 0, 1, 3)
@@ -250,6 +265,63 @@ def _cluster_kernel(sel_ref, lb_ref, r_ref, t0_ref, act_ref, w_ref,
         tri_idx = sel_ref[g, rr] * block + loc
         bt_ref[:, :] = jnp.where(better, lt, bt)
         btri_ref[:, :] = jnp.where(better, tri_idx, btri_ref[:, :])
+
+
+def _sweep_kernel(r_ref, t0_ref, w_ref, bt_ref, btri_ref, *, block, tile):
+    """Repair sweep: every block for every tile, t-bounded epilogue.
+    No scalar prefetch (a [G, K] block list would overflow SMEM) and no
+    entry ordering — it only runs when a ray flags, which the main
+    pass's selection makes rare."""
+    import jax.experimental.pallas as pl
+
+    jj = pl.program_id(1)
+
+    @pl.when(jj == 0)
+    def _init():
+        bt_ref[:, :] = t0_ref[:, :]
+        btri_ref[:, :] = jnp.full((tile, 1), -1, jnp.int32)
+
+    prod = jax.lax.dot_general(
+        r_ref[:, :], w_ref[0, :, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    bt = bt_ref[:, :]
+    t = mxu_bf._epilogue(prod, block, bt)
+    loc = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+    lt = jnp.min(t, axis=1, keepdims=True)
+    better = lt < bt
+    bt_ref[:, :] = jnp.where(better, lt, bt)
+    btri_ref[:, :] = jnp.where(better, jj * block + loc, btri_ref[:, :])
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "block", "interpret"))
+def _sweep_pallas(r, t0, w, tile: int, block: int, interpret: bool):
+    import jax.experimental.pallas as pl
+
+    n = r.shape[0]
+    g = n // tile
+    k = w.shape[0]
+    kernel = functools.partial(_sweep_kernel, block=block, tile=tile)
+    bt, btri = pl.pallas_call(
+        kernel,
+        grid=(g, k),
+        in_specs=[
+            pl.BlockSpec((tile, 16), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, 16, 4 * block), lambda i, j: (j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(r, t0.reshape(n, 1), w)
+    return bt.reshape(n), btri.reshape(n)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "block", "rounds",
@@ -379,16 +451,14 @@ def intersect_mesh_cluster(origin, direction, cm: ClusterMesh, config,
 
     def repair(args):
         bt, btri = args
-        g = npad // tile
-        all_sel = jnp.broadcast_to(
-            jnp.arange(k, dtype=jnp.int32)[None, :], (g, k)
-        )
-        all_lb = jnp.zeros((g, k), jnp.float32)  # no early exit bound
         if on_tpu:
-            bt2, btri2 = _cluster_pallas(all_sel, all_lb, r, bt, actf,
-                                         cm.w, tile, block, k, interpret)
+            bt2, btri2 = _sweep_pallas(r, bt, cm.w, tile, block, interpret)
         else:
-            bt2, btri2 = _cluster_ref(all_sel, all_lb, r, bt, actf,
+            g = npad // tile
+            all_sel = jnp.broadcast_to(
+                jnp.arange(k, dtype=jnp.int32)[None, :], (g, k)
+            )
+            bt2, btri2 = _cluster_ref(all_sel, None, r, bt, actf,
                                       cm.w, tile, block, k)
         keep = btri2 >= 0
         return jnp.where(keep, bt2, bt), jnp.where(keep, btri2, btri)

@@ -207,6 +207,30 @@ def trace_rays(
     return color
 
 
+def _hoist_tables(*trees):
+    """Split scene pytrees into (device-array args, rebuild fn).
+
+    Array leaves become jit ARGUMENTS (captured arrays embed as XLA
+    constants, which the compiler ships to and constant-folds on the
+    compile service — tens of MB and minutes of compile for a 100k-tri
+    mesh). Non-array leaves (static ints like ClusterMesh.block or
+    KDFlat.max_depth) stay in the closure so static uses keep working.
+    """
+    import numpy as _np
+
+    leaves, treedef = jax.tree.flatten(trees)
+    is_arr = [isinstance(l, (jax.Array, _np.ndarray)) for l in leaves]
+    args = [jnp.asarray(l) for l, m in zip(leaves, is_arr) if m]
+
+    def rebuild(args):
+        it = iter(args)
+        return jax.tree.unflatten(
+            treedef, [next(it) if m else l for l, m in zip(leaves, is_arr)]
+        )
+
+    return args, rebuild
+
+
 def make_render_fn(scene, config: RenderConfig, seed: int = 0):
     """Build a jitted ``(film, base_key, iteration) -> film`` step.
 
@@ -229,6 +253,7 @@ def make_render_fn(scene, config: RenderConfig, seed: int = 0):
         scene.camera,
     )
     cmesh = getattr(scene, "cmesh", None)
+    tables, rebuild = _hoist_tables(geoms, materials, mesh, kd, cmesh)
 
     if config.ray_cache:
         # First-bounce ray caching (key C, pathtrace.cu:2448-2456):
@@ -243,24 +268,30 @@ def make_render_fn(scene, config: RenderConfig, seed: int = 0):
         )(_bk(jax.random.PRNGKey(seed), 1, 0))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def render_step(film, base_key, iteration):
+        def _step(film, base_key, iteration, tables, cached):
+            geoms, materials, mesh, kd, cmesh = rebuild(tables)
             radiance = trace_iteration(
                 geoms, materials, mesh, kd, camera, config, base_key, iteration,
                 cached_rays=cached, cmesh=cmesh,
             )
             return film + radiance
 
-        return render_step
+        return lambda film, base_key, iteration: _step(
+            film, base_key, iteration, tables, cached
+        )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def render_step(film, base_key, iteration):
+    def _step(film, base_key, iteration, tables):
+        geoms, materials, mesh, kd, cmesh = rebuild(tables)
         radiance = trace_iteration(
             geoms, materials, mesh, kd, camera, config, base_key, iteration,
             cmesh=cmesh,
         )
         return film + radiance
 
-    return render_step
+    return lambda film, base_key, iteration: _step(
+        film, base_key, iteration, tables
+    )
 
 
 def make_render_block_fn(scene, config: RenderConfig, block: int):
@@ -277,9 +308,12 @@ def make_render_block_fn(scene, config: RenderConfig, block: int):
         scene.geoms, scene.materials, scene.mesh, scene.kd, scene.camera,
     )
     cmesh = getattr(scene, "cmesh", None)
+    tables, rebuild = _hoist_tables(geoms, materials, mesh, kd, cmesh)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def render_block(film, base_key, start_iter):
+    def _block(film, base_key, start_iter, tables):
+        geoms, materials, mesh, kd, cmesh = rebuild(tables)
+
         def body(i, f):
             radiance = trace_iteration(
                 geoms, materials, mesh, kd, camera, config, base_key,
@@ -289,7 +323,9 @@ def make_render_block_fn(scene, config: RenderConfig, block: int):
 
         return jax.lax.fori_loop(0, block, body, film)
 
-    return render_block
+    return lambda film, base_key, start_iter: _block(
+        film, base_key, start_iter, tables
+    )
 
 
 def render(scene, config: RenderConfig, spp: int, seed: int = 0) -> jax.Array:
