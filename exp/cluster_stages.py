@@ -1,5 +1,6 @@
-"""Break down cluster-intersector cost on dragon: cull / main pass /
-flag rate / repair, for primary and bounce-like wavefronts."""
+"""Break down cluster-intersector cost on dragon: sort / cull / select /
+main kernel / flag rate / sweep, for primary and bounce-like wavefronts.
+Matches the round-2 rewrite of ops/cluster.py."""
 import os
 import sys
 import time
@@ -28,25 +29,25 @@ def main():
     from kdtreepathtraceroptimization_tpu.ops import cluster as cl
     from kdtreepathtraceroptimization_tpu.ops.camera import generate_rays
     from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key
+    from kdtreepathtraceroptimization_tpu.ops.traverse import _coherence_key
     from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
 
     res = int(os.environ.get("RES", "800"))
-    block = int(os.environ.get("B", "128"))
+    block = int(os.environ.get("B", "256"))
     tile = int(os.environ.get("TILE", "1024"))
-    rounds = int(os.environ.get("R", "16"))
+    rounds = int(os.environ.get("R", "64"))
     scene = load_scene("/root/repo/scenes/cornell.txt",
                        obj_path=os.environ.get("OBJ", "/root/reference/scenes/dragon.obj"),
                        build_kd=False, build_cluster=False)
     scene = with_resolution(scene, res, res)
     cm = cl.build_cluster_mesh(scene.mesh, block=block)
-    k = cm.n_blocks
-    print(f"tris={scene.mesh.v0.shape[0]} K={k} block={block} tile={tile} R={rounds}",
-          flush=True)
+    kp = cm.n_blocks
+    print(f"tris={scene.mesh.v0.shape[0]} K={cm.n_real_blocks}/{kp} "
+          f"block={block} tile={tile} R={rounds}", flush=True)
 
     rays = generate_rays(scene.camera, RenderConfig(),
                          bounce_key(jax.random.PRNGKey(0), 1, 0), 8)
     n = rays.origin.shape[0]
-    # bounce-like: origins on scene surfaces, random directions
     rng = np.random.default_rng(0)
     o_np = np.asarray(rays.origin)
     d_np = np.asarray(rays.direction)
@@ -54,46 +55,82 @@ def main():
     nd = rng.normal(size=(n, 3)).astype(np.float32)
     nd /= np.linalg.norm(nd, axis=1, keepdims=True)
 
-    t_wall = jnp.full((n,), 11.0, jnp.float32)  # analytic-bound stand-in
+    t_wall = jnp.full((n,), 11.0, jnp.float32)
     act = jnp.ones((n,), bool)
+    lane = jnp.arange(n, dtype=jnp.int32)
 
-    cfg = RenderConfig(cluster_tile=tile, cluster_rounds=rounds)
-
-    cull = jax.jit(lambda o, d, t: cl._cull(
-        jnp.asarray(o) - cm.center_shift, jnp.asarray(d), cm, t, act, tile, rounds))
-
-    def main_pass(o, d, t):
+    def sort_fn(o, d, t0):
         o = jnp.asarray(o) - cm.center_shift
         d = jnp.asarray(d)
-        sel, lb, dropped = cl._cull(o, d, cm, t, act, tile, rounds)
-        r = cl.mxu_bf.ray_features(o, d)
-        r = jnp.concatenate([r, jnp.zeros((n, 6), jnp.float32)], axis=1)
-        bt, btri = cl._cluster_pallas(sel, lb, r, t, act.astype(jnp.float32),
-                                      cm.w, tile, block, rounds, False)
-        flag = act & (dropped < bt)
-        return bt, btri, flag
+        ckey = _coherence_key(o, d, act, cm.root_min, cm.root_max)
+        out = jax.lax.sort(
+            (ckey, lane, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2], t0, act.astype(jnp.int32)),
+            num_keys=1)
+        return out[1]
 
-    def sweep(o, d, t):
+    def packx(o, d, t0):
         o = jnp.asarray(o) - cm.center_shift
         d = jnp.asarray(d)
-        r = cl.mxu_bf.ray_features(o, d)
+        return jnp.concatenate(
+            [o, d, t0[:, None], jnp.ones((n, 1), jnp.float32)], axis=1)
+
+    def cull_fn(o, d, t0):
+        return cl._cull_pallas(packx(o, d, t0), cm.cull_w, cm.blk, tile, False)
+
+    def sel_fn(o, d, t0):
+        te = cl._cull_pallas(packx(o, d, t0), cm.cull_w, cm.blk, tile, False)
+        return cl._select(te, rounds)
+
+    def main_fn(o, d, t0):
+        x = packx(o, d, t0)
+        te = cl._cull_pallas(x, cm.cull_w, cm.blk, tile, False)
+        sel, lb, lb_over = cl._select(te, rounds)
+        r = cl.mxu_bf.ray_features(x[:, 0:3], x[:, 3:6])
         r = jnp.concatenate([r, jnp.zeros((n, 6), jnp.float32)], axis=1)
-        return cl._sweep_pallas(r, t, cm.w, tile, block, False)
+        bt, btri = cl._cluster_pallas(sel, lb, r, t0, x[:, 7], cm.w,
+                                      tile, block, sel.shape[1], False)
+        flag = act & (jnp.repeat(lb_over, tile) < bt)
+        return bt, btri, flag, te
+
+    def sweep_fn(o, d, t0):
+        x = packx(o, d, t0)
+        r = cl.mxu_bf.ray_features(x[:, 0:3], x[:, 3:6])
+        r = jnp.concatenate([r, jnp.zeros((n, 6), jnp.float32)], axis=1)
+        return cl._sweep_pallas(r, t0, cm.w, tile, block, False)
 
     for label, (o, d) in [("primary", (o_np, d_np)), ("bounce", (hp, nd))]:
-        dt, _ = timeit(cull, o, d, t_wall)
-        print(f"{label}: cull            {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray)",
-              flush=True)
-        f = jax.jit(main_pass)
-        dt, out = timeit(f, o, d, t_wall)
+        dt, _ = timeit(jax.jit(sort_fn), o, d, t_wall)
+        print(f"{label}: sort          {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray)", flush=True)
+        dt, te = timeit(jax.jit(cull_fn), o, d, t_wall)
+        feas = (np.asarray(te) < 1e30).sum(1)
+        print(f"{label}: cull          {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray) "
+              f"tile-feasible mean={feas.mean():.1f} p95={np.percentile(feas,95):.0f} "
+              f"max={feas.max()}", flush=True)
+        dt, _ = timeit(jax.jit(sel_fn), o, d, t_wall)
+        print(f"{label}: cull+select   {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray)", flush=True)
+        dt, out = timeit(jax.jit(main_fn), o, d, t_wall)
         flag = np.asarray(out[2])
         hits = np.asarray(out[0]) < 11.0
-        print(f"{label}: cull+main       {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray) "
-              f"flag_rate={flag.mean():.4f} hit_rate={hits.mean():.4f}", flush=True)
-        fs = jax.jit(sweep)
-        dt, _ = timeit(fs, o, d, t_wall)
-        print(f"{label}: full sweep      {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray)",
-              flush=True)
+        print(f"{label}: +main kernel  {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray) "
+              f"flag_rate={flag.mean():.5f} hit_rate={hits.mean():.4f}", flush=True)
+        dt, _ = timeit(jax.jit(sweep_fn), o, d, t_wall)
+        print(f"{label}: full sweep    {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray)", flush=True)
+
+        # sorted variant of main
+        def main_sorted(o, d, t0):
+            idx = sort_fn(o, d, t0)
+            o2 = jnp.asarray(o)[idx]
+            d2 = jnp.asarray(d)[idx]
+            return main_fn(o2, d2, t0)
+
+        dt, out = timeit(jax.jit(main_sorted), o, d, t_wall)
+        flag = np.asarray(out[2])
+        te = np.asarray(out[3])
+        feas = (te < 1e30).sum(1)
+        print(f"{label}: sorted main   {dt*1e3:8.2f} ms ({dt/n*1e9:6.1f} ns/ray) "
+              f"flag_rate={flag.mean():.5f} tile-feas mean={feas.mean():.1f} "
+              f"p95={np.percentile(feas,95):.0f}", flush=True)
 
 
 if __name__ == "__main__":

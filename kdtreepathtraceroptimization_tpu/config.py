@@ -136,8 +136,17 @@ class RenderConfig:
     # unselected block could still beat. Takes precedence over
     # ``enable_kd`` when the scene has a cluster table.
     cluster: bool = False
-    cluster_tile: int = 2048   # rays per tile (wavefront order)
-    cluster_rounds: int = 12   # entry-ordered blocks tried per tile
+    cluster_tile: int = 1024   # rays per tile (coherence order)
+    # Max entry-ordered blocks walked per tile. The per-tile early exit
+    # + copy-deduped round padding make unused rounds nearly free, so
+    # this is a ceiling (sized so the exactness repair almost never
+    # fires), not a cost knob.
+    cluster_rounds: int = 64
+    # Coherence-sort the wavefront (one multi-operand lax.sort) before
+    # culling so each tile shares a small feasible-block union; rays
+    # are unsorted on the way out. Costs 2 sorts/bounce, wins back
+    # many rounds of matmul on incoherent bounce wavefronts.
+    cluster_sort: bool = True
     # Bounce loop form. Python-unrolled (False) lets XLA fuse across
     # bounces and sidesteps a lax.scan reverse-mode NaN pathology (see
     # trace_rays); lax.scan (True) compiles the bounce body — including

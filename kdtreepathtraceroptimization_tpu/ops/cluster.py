@@ -11,26 +11,34 @@ per ray, this module:
 1. HOST: orders triangles by Morton code of their centroid and chunks
    them into fixed blocks of B (pad last); per block it keeps the MT
    weight matrix [16, 4B] (ops/mxu_bf form) and a bounding sphere.
-2. CULL (per bounce, per wavefront): conservative entry lower bound of
-   every (ray, block) pair from the bounding sphere — two [N,3]@[3,K]
-   matmuls (c.d and o.c) plus a fused VPU epilogue; no gathers.
-3. SELECT: rays are tiled in wavefront order (primary rays are pixel-
-   coherent; bounce rays inherit origin coherence). Per tile, blocks
-   are ordered by the tile-min entry bound; the first R are the tile's
-   rounds.
-4. INTERSECT: a Pallas kernel over grid (tiles, rounds) streams each
+2. SORT (optional, per bounce): the wavefront is coherence-sorted
+   (direction octant + origin Morton, ops/traverse._coherence_key) with
+   one multi-operand lax.sort so each ray tile shares a small union of
+   feasible blocks; results are unsorted by a second keyed sort.
+3. CULL: a Pallas kernel computes, per ray tile, the tile-min
+   conservative entry bound into every block's bounding sphere — the
+   [rays, blocks] pair matrix lives only in VMEM; HBM sees just the
+   [tiles, blocks] result. (A previous jnp version materialized the
+   [N, K] matrix in HBM ~2 GB at dragon scale and cost 300 ms/bounce.)
+4. SELECT: per tile, feasible blocks are ordered by entry bound. The
+   round axis is padded to a fixed R_max by REPEATING the last feasible
+   block id — Pallas skips the HBM copy when consecutive grid steps map
+   to the same block, so padded rounds cost only a skipped grid cell.
+5. INTERSECT: a Pallas kernel over grid (tiles, rounds) streams each
    tile's selected weight blocks from HBM by scalar-prefetched index
    (per-tile block lists — the block-sparse matmul pattern), running
    the mxu_bf epilogue with a per-ray running min. A per-tile early
    exit skips the matmul once every live ray's best t is at or below
-   the next round's entry bound.
-5. EXACTNESS: a ray whose best t still exceeds the entry bound of some
-   unselected feasible block is FLAGGED; if any ray flags, a bounded
-   second pass over all blocks (same kernel, full block list, t0 = the
-   found best) repairs it under lax.cond. flag == False proves the
-   result equals brute force, so images are exact, not approximate.
+   the next round's entry bound — which is also how tiles whose
+   feasible count < R_max stop: their padded rounds carry a +inf bound.
+6. EXACTNESS: a tile whose feasible count exceeded R_max exposes the
+   entry bound of its first UNSELECTED block; any ray that could still
+   be beaten by it is FLAGGED, and a bounded second pass over all
+   blocks (same kernel, full block list, t0 = the found best) repairs
+   it under lax.cond. flag == False proves the result equals brute
+   force, so images are exact, not approximate.
 
-No per-ray gathers, no sorts, no dynamic shapes: culling is matmuls,
+No per-ray gathers, no dynamic shapes: culling is one fused kernel,
 selection is a tiny per-tile argsort, intersection is MXU.
 """
 
@@ -55,18 +63,26 @@ class ClusterMesh(NamedTuple):
     ``tris`` is a MeshSoA in block order (padded with degenerate
     triangles that can never win a hit) — hit triangle ids index it
     directly, so no per-bounce id remap is needed.
+
+    The block axis K is padded to a multiple of 128 (lane width) with
+    never-feasible sentinel blocks (r2 = -1) and all-zero weight blocks
+    so the cull kernel's [8, K] tables and the [G, K] entry matrix tile
+    cleanly.
     """
 
-    w: jax.Array        # [K, 16, 4B] f32 MT weight blocks (centered)
-    centers: jax.Array  # [K, 3] f32 block bounding-sphere centers (centered)
-    radii: jax.Array    # [K] f32 bounding-sphere radii
+    w: jax.Array        # [Kpad, 16, 4B] f32 MT weight blocks (centered)
+    blk: jax.Array      # [8, Kpad] f32 rows: cx cy cz radius |c|^2 r2 0 0
+    cull_w: jax.Array   # [8, 2*Kpad] f32 matmul weights for (d.c | o.c)
     center_shift: jax.Array  # [3] f32 shift applied to tris/rays (precision)
+    root_min: jax.Array  # [3] f32 sphere-union lower corner (centered)
+    root_max: jax.Array  # [3] f32 sphere-union upper corner (centered)
     tris: "MeshSoA"     # block-ordered padded mesh  # noqa: F821
     block: int          # B, triangles per block
+    n_real_blocks: int  # K before lane padding
 
     @property
     def n_blocks(self) -> int:
-        return int(self.centers.shape[0])
+        return int(self.blk.shape[1])
 
 
 def _morton3(x: np.ndarray) -> np.ndarray:
@@ -108,12 +124,6 @@ def build_cluster_mesh(mesh, block: int = 256) -> ClusterMesh:
     idx = np.concatenate([order, np.full(pad, order[-1], np.int64)])
     # Padded slots duplicate the last triangle but with all-equal
     # vertices (degenerate -> MT determinant 0 -> culled, never wins).
-    def take(a, degen_from=None):
-        out = np.asarray(a)[idx].copy()
-        if pad and degen_from is not None:
-            out[t_count:] = degen_from[order[-1]]
-        return out
-
     dv0 = v0[idx].copy()
     dv1 = v1[idx].copy()
     dv2 = v2[idx].copy()
@@ -143,8 +153,8 @@ def build_cluster_mesh(mesh, block: int = 256) -> ClusterMesh:
     b2 = cv2.reshape(k, block, 3)
     lo = np.minimum(b0.min(1), np.minimum(b1.min(1), b2.min(1)))
     hi = np.maximum(b0.max(1), np.maximum(b1.max(1), b2.max(1)))
-    centers = 0.5 * (lo + hi)
-    radii = 0.5 * np.linalg.norm(hi - lo, axis=1) + 1e-5
+    centers = (0.5 * (lo + hi)).astype(np.float32)
+    radii = (0.5 * np.linalg.norm(hi - lo, axis=1) + 1e-5).astype(np.float32)
 
     # Pure-numpy weight build (mxu_bf.tri_weights math): the host build
     # must not touch jnp — under a tunneled backend eager ops round-trip
@@ -171,60 +181,153 @@ def build_cluster_mesh(mesh, block: int = 256) -> ClusterMesh:
     )
     w = np.concatenate([w, np.zeros((k, 6, 4 * block), np.float32)], axis=1)
 
+    # Lane-pad the block axis with never-feasible sentinels (r2 = -1)
+    # and zero weights (determinant 0 -> never hit if ever streamed).
+    kpad = (-k) % 128
+    if kpad:
+        w = np.concatenate(
+            [w, np.zeros((kpad, 16, 4 * block), np.float32)], axis=0
+        )
+    kp = k + kpad
+    blk = np.zeros((8, kp), np.float32)
+    blk[0:3, :k] = centers.T
+    blk[3, :k] = radii
+    blk[4, :k] = np.sum(centers * centers, axis=1)
+    blk[5, :k] = radii * radii
+    blk[5, k:] = -1.0  # sentinel: never feasible
+    cull_w = np.zeros((8, 2 * kp), np.float32)
+    cull_w[3:6, :k] = centers.T      # d . c
+    cull_w[0:3, kp:kp + k] = centers.T  # o . c
+
+    root_min = (centers - radii[:, None]).min(0)
+    root_max = (centers + radii[:, None]).max(0)
+
     return ClusterMesh(
         w=jnp.asarray(w),
-        centers=jnp.asarray(centers.astype(np.float32)),
-        radii=jnp.asarray(radii.astype(np.float32)),
+        blk=jnp.asarray(blk),
+        cull_w=jnp.asarray(cull_w),
         center_shift=jnp.asarray(center_shift),
+        root_min=jnp.asarray(root_min),
+        root_max=jnp.asarray(root_max),
         tris=jax.tree.map(jnp.asarray, tris),
         block=block,
+        n_real_blocks=k,
     )
 
 
 # ---------------------------------------------------------------------------
-# Cull + selection (jnp; matmuls hit the MXU, epilogue fuses on the VPU)
+# Cull: tile-min entry bounds. Pallas on TPU (nothing [N, K]-shaped in
+# HBM), jnp mirror elsewhere.
 # ---------------------------------------------------------------------------
 
 
-def _cull(origin, direction, cm: ClusterMesh, t_init, active, tiles, rounds):
-    """-> (sel [G, R] int32, lb [G, R] f32, dropped_min [N] f32).
+def _entry_math(o, d, t0, act, radius, cc, r2, p1, p2):
+    """Shared cull math: conservative entry bound per (ray, block) pair,
+    +inf where the pair is infeasible (sphere missed / entirely behind /
+    beyond the ray's current bound / dead lane / sentinel block).
 
-    entry(ray, k) = conservative lower bound of the ray's entry distance
-    into block k's bounding sphere (+inf when the sphere is missed,
-    entirely behind, or beyond the ray's current bound).
+    entry(ray, k) = max(t_ca - radius, 0) with t_ca the ray parameter of
+    the closest approach to block k's bounding-sphere center.
     """
-    n = origin.shape[0]
-    g = n // tiles
-    cc = jnp.sum(cm.centers * cm.centers, axis=1)  # [K]
-    r2 = cm.radii * cm.radii
-    p1 = direction @ cm.centers.T  # [N, K] MXU
-    p2 = origin @ cm.centers.T     # [N, K] MXU
-    od = jnp.sum(origin * direction, axis=1)
-    oo = jnp.sum(origin * origin, axis=1)
-    t_ca = p1 - od[:, None]
-    dline2 = cc[None, :] - 2.0 * p2 + oo[:, None] - t_ca * t_ca
-    entry = jnp.maximum(t_ca - cm.radii[None, :], 0.0)
+    od = jnp.sum(o * d, axis=1, keepdims=True)
+    oo = jnp.sum(o * o, axis=1, keepdims=True)
+    t_ca = p1 - od
+    dline2 = cc - 2.0 * p2 + oo - t_ca * t_ca
+    entry = jnp.maximum(t_ca - radius, 0.0)
     feasible = (
-        (dline2 <= r2[None, :])
-        & (t_ca + cm.radii[None, :] > 0.0)
-        & (entry < t_init[:, None])
-        & active[:, None]
+        (dline2 <= r2)
+        & (t_ca + radius > 0.0)
+        & (entry < t0)
+        & act
+        & (r2 >= 0.0)
     )
-    entry = jnp.where(feasible, entry, BIG)
+    return jnp.where(feasible, entry, BIG)
 
-    tile_entry = entry.reshape(g, tiles, -1).min(axis=1)  # [G, K]
-    order = jnp.argsort(tile_entry, axis=1)  # [G, K]
+
+def _cull_kernel(x_ref, cw_ref, blk_ref, out_ref, *, kp, tile):
+    """Per ray tile: tile-min entry bound into every block, in 8
+    subtile rows (output blocks need a sublane dim divisible by 8).
+    [subtile, K] intermediates live in VMEM only, reused across the
+    unrolled subtile loop."""
+    sub = tile // 8
+    for m in range(8):
+        x = x_ref[m * sub:(m + 1) * sub, :]  # [sub, 8] = o(3) d(3) t0 act
+        prod = jax.lax.dot_general(
+            x, cw_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [sub, 2K] = (d.c | o.c)
+        entry = _entry_math(
+            x[:, 0:3], x[:, 3:6], x[:, 6:7], x[:, 7:8] > 0.0,
+            blk_ref[3:4, :], blk_ref[4:5, :], blk_ref[5:6, :],
+            prod[:, :kp], prod[:, kp:],
+        )
+        out_ref[m:m + 1, :] = jnp.min(entry, axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def _cull_pallas(x, cull_w, blk, tile: int, interpret: bool):
+    import jax.experimental.pallas as pl
+
+    n = x.shape[0]
+    kp = blk.shape[1]
+    g = n // tile
+    kernel = functools.partial(_cull_kernel, kp=kp, tile=tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((tile, 8), lambda i: (i, 0)),
+            pl.BlockSpec((8, 2 * kp), lambda i: (0, 0)),
+            pl.BlockSpec((8, kp), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, kp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((8 * g, kp), jnp.float32),
+        interpret=interpret,
+    )(x, cull_w, blk)
+    return out.reshape(g, 8, kp).min(axis=1)
+
+
+def _cull_ref(x, cull_w, blk, tile: int):
+    """jnp mirror of the cull kernel (CPU path / oracle)."""
+    n = x.shape[0]
+    kp = blk.shape[1]
+    prod = x @ cull_w
+    entry = _entry_math(
+        x[:, 0:3], x[:, 3:6], x[:, 6:7], x[:, 7:8] > 0.0,
+        blk[3:4, :], blk[4:5, :], blk[5:6, :], prod[:, :kp], prod[:, kp:],
+    )
+    return entry.reshape(n // tile, tile, kp).min(axis=1)
+
+
+def _select(tile_entry, rounds: int):
+    """Entry-ordered per-tile block lists, padded by repetition.
+
+    -> (sel [G, R] int32, lb [G, R] f32, lb_over [G] f32). Padded
+    rounds repeat the LAST feasible block id (so consecutive grid steps
+    keep the same HBM block and Pallas skips the copy) with lb = +inf
+    (so the early exit skips their compute). ``lb_over`` is the entry
+    bound of the first unselected feasible block (+inf when every
+    feasible block was selected) — the exactness flag threshold.
+    """
+    g, kp = tile_entry.shape
+    rounds = min(rounds, kp)
+    order = jnp.argsort(tile_entry, axis=1)
+    sorted_e = jnp.take_along_axis(tile_entry, order, axis=1)
+    count = jnp.sum(sorted_e < BIG, axis=1).astype(jnp.int32)  # [G]
     sel = order[:, :rounds].astype(jnp.int32)
-    lb = jnp.take_along_axis(tile_entry, order[:, :rounds], axis=1)
-
-    k = cm.n_blocks
-    sel_mask = jnp.zeros((g, k), bool).at[
-        jnp.arange(g)[:, None], sel
-    ].set(True)
-    dropped = jnp.where(
-        jnp.repeat(sel_mask, tiles, axis=0), BIG, entry
-    ).min(axis=1)  # [N]
-    return sel, lb, dropped
+    lb = sorted_e[:, :rounds]
+    jj = jnp.arange(rounds, dtype=jnp.int32)[None, :]
+    last = jnp.clip(count - 1, 0, rounds - 1)[:, None]
+    last_sel = jnp.take_along_axis(sel, last, axis=1)
+    live = jj < count[:, None]
+    sel = jnp.where(live, sel, last_sel)
+    lb = jnp.where(live, lb, BIG)
+    if rounds < kp:
+        lb_over = jnp.where(count > rounds, sorted_e[:, rounds], BIG)
+    else:
+        lb_over = jnp.full((g,), BIG, jnp.float32)
+    return sel, lb, lb_over
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +351,7 @@ def _cluster_kernel(sel_ref, lb_ref, r_ref, t0_ref, act_ref, w_ref,
     act = act_ref[:, :] > 0
     # Early exit: once every live ray's best t is <= this round's entry
     # bound, no remaining (entry-ordered) block can improve the tile.
+    # Padded rounds carry lb = +inf, so they always skip.
     lb = lb_ref[g, rr]
     live = jnp.any(act & (bt[:, 0:1] > lb))
 
@@ -364,7 +468,9 @@ def _cluster_pallas(sel, lb, r, t0, act, w, tile: int, block: int,
 
 def _cluster_ref(sel, lb, r, t0, act, w, tile: int, block: int,
                  rounds: int):
-    """jnp reference of the round loop (CPU path / oracle)."""
+    """jnp reference of the round loop (CPU path / oracle). Padded
+    rounds re-test the repeated last block — idempotent under the
+    running min, so results match the early-exiting kernel exactly."""
     n = r.shape[0]
     g = n // tile
     rt = r.reshape(g, tile, 16)
@@ -410,8 +516,8 @@ def intersect_mesh_cluster(origin, direction, cm: ClusterMesh, config,
     tile = config.cluster_tile
     rounds = config.cluster_rounds
     block = cm.block
-    k = cm.n_blocks
-    rounds = min(rounds, k)
+    kp = cm.n_blocks
+    rounds = min(rounds, kp)
 
     origin = jnp.asarray(origin, jnp.float32) - cm.center_shift
     direction = jnp.asarray(direction, jnp.float32)
@@ -425,19 +531,48 @@ def intersect_mesh_cluster(origin, direction, cm: ClusterMesh, config,
         t0 = jnp.concatenate([t0, jnp.zeros((pad,), jnp.float32)])
         act = jnp.concatenate([act, jnp.zeros((pad,), bool)])
     npad = origin.shape[0]
+    lane = jnp.arange(npad, dtype=jnp.int32)
 
-    sel, lb, dropped = _cull(origin, direction, cm, t0, act, tile, rounds)
+    # Coherence sort (one multi-operand lax.sort): tiles of rays with a
+    # shared direction octant + origin cell walk a small shared block
+    # union; the wavefront after a few bounces is scrambled without it.
+    do_sort = getattr(config, "cluster_sort", True)
+    if do_sort:
+        from kdtreepathtraceroptimization_tpu.ops.traverse import _coherence_key
+
+        ckey = _coherence_key(origin, direction, act, cm.root_min, cm.root_max)
+        (_, lane, o0, o1, o2, d0, d1, d2, t0, acti) = jax.lax.sort(
+            (ckey, lane,
+             origin[:, 0], origin[:, 1], origin[:, 2],
+             direction[:, 0], direction[:, 1], direction[:, 2],
+             t0, act.astype(jnp.int32)),
+            num_keys=1,
+        )
+        origin = jnp.stack([o0, o1, o2], axis=1)
+        direction = jnp.stack([d0, d1, d2], axis=1)
+        act = acti > 0
 
     # Dead lanes are removed from the MT itself (not just the cull):
     # direction 0 -> every determinant 0 -> all culled, exactly like
     # the pad rays. (The Pallas path's early exit would skip them, but
     # the jnp reference round loop has no early exit.)
     direction = jnp.where(act[:, None], direction, 0.0)
-    r = mxu_bf.ray_features(origin, direction)
-    r = jnp.concatenate([r, jnp.zeros((npad, 6), jnp.float32)], axis=1)
     actf = act.astype(jnp.float32)
+    x = jnp.concatenate(
+        [origin, direction, t0[:, None], actf[:, None]], axis=1
+    )  # [npad, 8]
 
     on_tpu = jax.default_backend() == "tpu" or interpret
+    if on_tpu:
+        tile_entry = _cull_pallas(x, cm.cull_w, cm.blk, tile, interpret)
+    else:
+        tile_entry = _cull_ref(x, cm.cull_w, cm.blk, tile)
+    sel, lb, lb_over = _select(tile_entry, rounds)
+    rounds = sel.shape[1]
+
+    r = mxu_bf.ray_features(origin, direction)
+    r = jnp.concatenate([r, jnp.zeros((npad, 6), jnp.float32)], axis=1)
+
     if on_tpu:
         bt, btri = _cluster_pallas(sel, lb, r, t0, actf, cm.w,
                                    tile, block, rounds, interpret)
@@ -445,9 +580,12 @@ def intersect_mesh_cluster(origin, direction, cm: ClusterMesh, config,
         bt, btri = _cluster_ref(sel, lb, r, t0, actf, cm.w,
                                 tile, block, rounds)
 
-    # Exactness repair: any ray whose result could still be beaten by an
-    # unselected block reruns against ALL blocks, bounded by its best t.
-    flagged = act & (dropped < bt)
+    # Exactness repair: any ray that could still be beaten by its
+    # tile's first unselected block reruns against ALL blocks, bounded
+    # by its best t. (Only tiles whose feasible count exceeded R_max
+    # have a finite threshold, so this fires rarely by construction.)
+    over = jnp.repeat(lb_over, tile)
+    flagged = act & (over < bt)
 
     def repair(args):
         bt, btri = args
@@ -456,16 +594,19 @@ def intersect_mesh_cluster(origin, direction, cm: ClusterMesh, config,
         else:
             g = npad // tile
             all_sel = jnp.broadcast_to(
-                jnp.arange(k, dtype=jnp.int32)[None, :], (g, k)
+                jnp.arange(kp, dtype=jnp.int32)[None, :], (g, kp)
             )
             bt2, btri2 = _cluster_ref(all_sel, None, r, bt, actf,
-                                      cm.w, tile, block, k)
+                                      cm.w, tile, block, kp)
         keep = btri2 >= 0
         return jnp.where(keep, bt2, bt), jnp.where(keep, btri2, btri)
 
     bt, btri = jax.lax.cond(
         jnp.any(flagged), repair, lambda a: a, (bt, btri)
     )
+
+    if do_sort:
+        _, bt, btri = jax.lax.sort((lane, bt, btri), num_keys=1)
 
     bt, btri = bt[:n], btri[:n]
     bt = jnp.where(btri >= 0, bt, BIG)

@@ -57,14 +57,16 @@ def test_build_covers_all_triangles():
                         np.asarray(cm.tris.v2)], 1)[: t]
     key = lambda a: set(map(tuple, a.reshape(a.shape[0], -1).round(5).tolist()))
     assert key(orig) == key(blocked)
-    # spheres contain their triangles
-    k = cm.n_blocks
+    # spheres contain their triangles (real blocks only — the block
+    # axis is lane-padded with never-feasible sentinels)
+    k = cm.n_real_blocks
     b = cm.block
     v = (blocked if t == k * b else np.stack(
         [np.asarray(cm.tris.v0), np.asarray(cm.tris.v1),
          np.asarray(cm.tris.v2)], 1)).reshape(k, b, 3, 3)
-    c = np.asarray(cm.centers) + np.asarray(cm.center_shift)
-    r = np.asarray(cm.radii)
+    blk = np.asarray(cm.blk)
+    c = blk[0:3, :k].T + np.asarray(cm.center_shift)
+    r = blk[3, :k]
     d = np.linalg.norm(v - c[:, None, None, :], axis=-1)
     assert (d <= r[:, None, None] + 1e-4).all()
 
