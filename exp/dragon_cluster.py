@@ -50,12 +50,15 @@ def main():
         b, t, r = [int(x) for x in case.split(":")]
         cm = build_cluster_mesh(scene0.mesh, block=b)
         scene = scene0._replace(cmesh=cm)
+        scan = os.environ.get("SCAN", "1") == "1"
         cfg = RenderConfig(trace_depth=depth, antialias=True, cluster=True,
-                           cluster_tile=t, cluster_rounds=r)
+                           cluster_tile=t, cluster_rounds=r,
+                           scan_bounces=scan)
         bench(scene, cfg, f"cluster b={b} tile={t} R={r}")
 
     if os.environ.get("KD", "0") == "1":
-        cfg = RenderConfig(trace_depth=depth, antialias=True, enable_kd=True)
+        cfg = RenderConfig(trace_depth=depth, antialias=True, enable_kd=True,
+                           scan_bounces=os.environ.get("SCAN", "1") == "1")
         bench(scene0, cfg, "kd fatrow")
 
 

@@ -58,6 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compaction", action="store_true")
     p.add_argument("--material-sort", action="store_true")
     p.add_argument("--ray-cache", action="store_true")
+    p.add_argument("--cluster", action="store_true",
+                   help="use the cluster-MXU intersector instead of the KD "
+                        "walk (ops/cluster.py; exact, fastest at high poly "
+                        "counts on TPU)")
+    p.add_argument("--unroll-bounces", action="store_true",
+                   help="Python-unroll the bounce loop instead of lax.scan "
+                        "(identical images; scan compiles ~8x faster on big "
+                        "scenes, unroll lets XLA fuse across bounces)")
     p.add_argument("--viz-kd", action="store_true", help="render KD node AABBs")
     p.add_argument("--benchmark", action="store_true",
                    help="print per-iteration timing (key T analog)")
@@ -136,6 +144,10 @@ def main(argv=None) -> int:
         partial_gather=args.compaction,
         material_sort=args.material_sort,
         ray_cache=args.ray_cache,
+        cluster=args.cluster,
+        # Forward-only rendering: compile the bounce body once
+        # (bit-identical to the unroll; see trace_rays).
+        scan_bounces=not args.unroll_bounces,
     )
 
     if args.viz_kd:

@@ -183,14 +183,26 @@ def trace_rays(
             new_rays, _ = compact_rays(new_rays)
         return new_rays, None
 
-    # Static Python unroll over bounces (depth is small and fixed — the
-    # reference caps at 8, pathtrace.cu:2608). Unrolling lets XLA fuse
-    # across bounce boundaries, and avoids a lax.scan reverse-mode
-    # pathology: scan's backward produced NaN cotangents on this body
-    # where the mathematically identical unrolled graph does not
-    # (observed on the CPU backend; see tests/test_grad.py).
-    for depth in range(config.effective_depth):
-        rays, _ = bounce(rays, jnp.int32(depth))
+    # Two bounce-loop forms (config.scan_bounces):
+    # - Python unroll (default): XLA fuses across bounce boundaries and
+    #   reverse-mode stays clean — lax.scan's backward produced NaN
+    #   cotangents on this body where the mathematically identical
+    #   unrolled graph does not (observed on the CPU backend; see
+    #   tests/test_grad.py). Depth is small and fixed (the reference
+    #   caps at 8, pathtrace.cu:2608).
+    # - lax.scan: compiles the bounce body — including any Pallas
+    #   kernels — ONCE instead of depth times. On the tunneled compile
+    #   service a depth-8 unroll of the cluster kernels takes ~10 min;
+    #   the scan form compiles in ~1/8th of that. Forward-only paths
+    #   (bench, CLI rendering) should use it.
+    if config.scan_bounces:
+        rays, _ = jax.lax.scan(
+            bounce, rays,
+            jnp.arange(config.effective_depth, dtype=jnp.int32),
+        )
+    else:
+        for depth in range(config.effective_depth):
+            rays, _ = bounce(rays, jnp.int32(depth))
 
     # finalGather (reference: pathtrace.cu:2373-2383): every path adds its
     # accumulated color to its pixel. Without reordering pixel_index is

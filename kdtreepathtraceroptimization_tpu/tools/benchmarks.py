@@ -36,6 +36,10 @@ MODES = {
     "bbox": dict(enable_kd=False, use_bbox=True, mxu_brute=False),
     "kd": dict(enable_kd=True, short_stack=False),
     "short": dict(enable_kd=True, short_stack=True),
+    # The TPU-native intersector (ops/cluster.py) — no reference
+    # counterpart; included so the sweep shows where it crosses the
+    # KD walks.
+    "cluster": dict(cluster=True),
 }
 
 
@@ -71,7 +75,8 @@ def time_mode(scene, mode: str, res: int, iters: int, depth: int,
     from kdtreepathtraceroptimization_tpu.config import RenderConfig
     from kdtreepathtraceroptimization_tpu.render.integrator import make_render_block_fn
 
-    config = RenderConfig(trace_depth=depth, antialias=True, **MODES[mode])
+    config = RenderConfig(trace_depth=depth, antialias=True,
+                          scan_bounces=True, **MODES[mode])
     block = make_render_block_fn(scene, config, iters)
     key = jax.random.PRNGKey(0)
     film = block(jnp.zeros((res * res, 3), jnp.float32), key, jnp.int32(1))

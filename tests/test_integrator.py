@@ -80,3 +80,15 @@ def test_compaction_and_sort_match_baseline(cornell_scene):
     )
     np.testing.assert_array_equal(base, comp)
     np.testing.assert_array_equal(base, srt)
+
+
+def test_scan_bounces_bit_identical(cornell_scene):
+    """config.scan_bounces compiles the bounce body once (lax.scan) —
+    the image must be bit-identical to the default Python unroll (the
+    CLI/bench forward paths rely on this equivalence)."""
+    scene = _small(cornell_scene, 32)
+    a = np.asarray(render(scene, RenderConfig(trace_depth=8), spp=2, seed=0))
+    b = np.asarray(
+        render(scene, RenderConfig(trace_depth=8, scan_bounces=True), spp=2, seed=0)
+    )
+    np.testing.assert_array_equal(a, b)
