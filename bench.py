@@ -7,9 +7,15 @@ reference's published table was measured on (BASELINE.md,
 presentation/benchmarks.py). Falls back to a dragon-class procedural
 icosphere when the reference mount is absent.
 
-Intersector: the cluster-MXU path (ops/cluster.py) — Morton triangle
-blocks culled by matmul sphere bounds and intersected on the MXU with
-entry-ordered early exit; exact (brute-equal) results.
+Robustness: each candidate config runs in a SUBPROCESS. A TPU worker
+crash (the failure mode recorded in BENCH_r02.json) kills only that
+subprocess; the harness then falls back to the next config and always
+prints a JSON line for whatever succeeded. Configs are tried
+best-first:
+
+  1. binned-cluster intersector, dragon, 800x800           (headline)
+  2. cluster-MXU intersector, dragon, 800x800
+  3. cluster-MXU intersector, icosphere-20k, 512x512
 
 vs_baseline: the reference's short-stack GTX 980M result for the
 closest mesh size, converted to rays/sec via
@@ -20,9 +26,7 @@ Measurement notes (tunneled single-chip TPU):
   (make_render_block_fn) — each dispatch costs a ~50 ms tunnel round
   trip that would otherwise dominate;
 - the bounce loop uses lax.scan (bit-identical to the unroll,
-  tests/test_integrator.py) so the body compiles once — the depth-8
-  unroll of the cluster kernels takes ~10 min on the remote compile
-  helper;
+  tests/test_integrator.py) so the body compiles once;
 - the whole timed block is repeated 3x and the best is kept: the
   tunneled pool is shared and run-to-run contention up to ~8x has
   been observed;
@@ -32,12 +36,11 @@ Measurement notes (tunneled single-chip TPU):
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-import numpy as np
 
 DRAGON = "/root/reference/scenes/dragon.obj"
 
@@ -64,31 +67,33 @@ def _mesh_scene(res, subdiv=None):
     return with_resolution(scene, res, res), n_tris, label
 
 
-def main():
+def run_config(mode: str, res: int, subdiv, iters: int, repeats: int) -> dict:
+    """Measure one config and return the result dict (runs in-process)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from kdtreepathtraceroptimization_tpu.config import RenderConfig
     from kdtreepathtraceroptimization_tpu.render.integrator import make_render_block_fn
 
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    # Scale the benchmark to the platform so CI/CPU runs stay fast.
-    if on_tpu:
-        res, subdiv, iters, repeats = 800, None, 10, 3
-    else:
-        res, subdiv, iters, repeats = 200, 3, 3, 1
     scene, n_tris, label = _mesh_scene(res, subdiv)
     depth = 8
-    config = RenderConfig(trace_depth=depth, antialias=True, cluster=True,
-                          scan_bounces=True)
+    kwargs = dict(trace_depth=depth, antialias=True, scan_bounces=True)
+    if mode == "binned":
+        kwargs.update(cluster=True, cluster_binned=True)
+    elif mode == "cluster":
+        kwargs.update(cluster=True)
+    config = RenderConfig(**kwargs)
 
     block = make_render_block_fn(scene, config, iters)
     n = res * res
     key = jax.random.PRNGKey(0)
 
-    # warmup/compile
+    def force(f):
+        return float(np.asarray(f[0, 0]))
+
     film = block(jnp.zeros((n, 3), jnp.float32), key, jnp.int32(1))
-    float(film[0, 0])
+    force(film)
 
     best = float("inf")
     it0 = 1 + iters
@@ -96,15 +101,14 @@ def main():
         film = jnp.zeros((n, 3), jnp.float32)
         t0 = time.perf_counter()
         film = block(film, key, jnp.int32(it0))
-        float(film[0, 0])  # forces execution (see module docstring)
+        force(film)
         best = min(best, (time.perf_counter() - t0) / iters)
         it0 += iters
-    dt = best
 
     # rays/sec: every pixel traces up to `depth` bounces; count launched
     # bounce-rays (pixels * depth) to match the reference's kernel-time
     # basis (all paths resident every bounce, no compaction).
-    rays_per_sec = n * depth / dt
+    rays_per_sec = n * depth / best
 
     # Baseline conversion (BASELINE.md): dragon.obj is 50k verts /
     # 100k faces — between the table's 37.5k-vert (79.4 ms) and
@@ -114,14 +118,58 @@ def main():
     ref_ms = 79.4 if label == "dragon" else 59.0
     ref_rays_per_sec = 800 * 800 * 8 / (ref_ms / 1e3)
 
-    out = {
+    return {
         "metric": f"rays/sec/chip (cornell+{label} {n_tris}tris, {res}x{res}, "
-                  f"depth {depth}, cluster-MXU)",
+                  f"depth {depth}, {mode})",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / ref_rays_per_sec, 3),
     }
-    print(json.dumps(out))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        # Child mode: run exactly one config, print its JSON.
+        mode, res, subdiv, iters, repeats = sys.argv[2:7]
+        out = run_config(mode, int(res), None if subdiv == "-" else int(subdiv),
+                         int(iters), int(repeats))
+        print("BENCH_RESULT " + json.dumps(out), flush=True)
+        return
+
+    import jax
+
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if on_tpu:
+        candidates = [
+            ("binned", 800, "-", 10, 3, 3600),
+            ("cluster", 800, "-", 10, 3, 3600),
+            ("cluster", 512, "5", 3, 2, 1800),
+        ]
+    else:
+        candidates = [("binned", 200, "3", 3, 1, 900),
+                      ("cluster", 200, "3", 3, 1, 900)]
+
+    me = os.path.abspath(__file__)
+    for mode, res, subdiv, iters, repeats, tmo in candidates:
+        cmd = [sys.executable, me, "--one", mode, str(res), subdiv,
+               str(iters), str(repeats)]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=tmo)
+        except subprocess.TimeoutExpired:
+            print(f"# config {mode}/{res} timed out", file=sys.stderr)
+            continue
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_RESULT "):
+                print(line[len("BENCH_RESULT "):])
+                return
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        print(f"# config {mode}/{res} failed rc={proc.returncode}: "
+              + " | ".join(tail), file=sys.stderr)
+    # Everything failed: still print a JSON line so the driver records
+    # the failure as a value instead of a crash.
+    print(json.dumps({"metric": "rays/sec/chip (all configs failed)",
+                      "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0}))
 
 
 if __name__ == "__main__":

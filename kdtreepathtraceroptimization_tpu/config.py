@@ -147,6 +147,17 @@ class RenderConfig:
     # are unsorted on the way out. Costs 2 sorts/bounce, wins back
     # many rounds of matmul on incoherent bounce wavefronts.
     cluster_sort: bool = True
+    # Binned cluster intersector (ops/binned.py): rays are counting-
+    # sorted per bounce by their ARGMIN-ENTRY block id (one extra cull
+    # pass computes it) instead of the octant+morton proxy key. Rays
+    # whose nearest feasible block coincides walk nearly identical
+    # entry-ordered lists, so tile unions collapse to a few blocks and
+    # the early exit fires after ~the per-ray needed depth. Dead /
+    # mesh-missing rays all land in one overflow bin whose tiles skip
+    # every round. Takes precedence over plain ``cluster`` ordering
+    # when set.
+    cluster_binned: bool = False
+    binned_rounds: int = 32   # entry-ordered ceiling per binned tile
     # Bounce loop form. Python-unrolled (False) lets XLA fuse across
     # bounces and sidesteps a lax.scan reverse-mode NaN pathology (see
     # trace_rays); lax.scan (True) compiles the bounce body — including

@@ -45,12 +45,17 @@ def intersect_scene(origin, direction, geoms, materials, mesh, kd,
     hit = isect.intersect_geoms(origin, direction, geoms)
     if mesh is not None:
         if config.cluster and cmesh is not None:
-            from kdtreepathtraceroptimization_tpu.ops.cluster import (
-                intersect_mesh_cluster,
-            )
+            if getattr(config, "cluster_binned", False):
+                from kdtreepathtraceroptimization_tpu.ops.binned import (
+                    intersect_mesh_binned as _isect_cluster,
+                )
+            else:
+                from kdtreepathtraceroptimization_tpu.ops.cluster import (
+                    intersect_mesh_cluster as _isect_cluster,
+                )
 
-            tri_hit = intersect_mesh_cluster(origin, direction, cmesh, config,
-                                             t_init=hit.t, active=active)
+            tri_hit = _isect_cluster(origin, direction, cmesh, config,
+                                     t_init=hit.t, active=active)
             mesh_hit = mesh_ops.tri_hit_to_hit(origin, direction, tri_hit,
                                                cmesh.tris)
         elif config.enable_kd and kd is not None:
