@@ -5,23 +5,36 @@ Round 2's cluster path (ops/cluster.py) sorts the wavefront by an
 octant+morton proxy key; measured on cornell+dragon the resulting
 256-ray tiles still touch 80-119 feasible blocks each, 20-30x over the
 per-RAY feasible count of ~3.5-5.7 (exp/bin_stats.py). Since every tile
-pays one MXU round per union block, the proxy key is the bottleneck.
+pays one MXU round per union block, the proxy key is the bottleneck —
+and its exactness repair (a full sweep over ALL blocks for ALL tiles)
+fires whenever ANY ray overflows the round budget, ~every bounce at
+dragon scale.
 
-This module bins rays by their ARGMIN-ENTRY block id — the id of the
-feasible block with the smallest conservative entry bound, i.e. "the
-block the entry-ordered walk visits first". Rays that agree on it start
-from the same place and walk nearly identical lists, so tile unions
-collapse toward the per-ray count; rays with NO feasible block (dead
-lanes, rays that miss the mesh bounds) share one overflow bin whose
-tiles skip every round.
+This module fixes both:
+
+* rays are binned by their ARGMIN-ENTRY block id — the id of the
+  feasible block with the smallest conservative entry bound, i.e. "the
+  block the entry-ordered walk visits first". Rays that agree on it
+  start from the same place and walk nearly identical lists, so tile
+  unions collapse toward the per-ray count; rays with NO feasible block
+  (dead lanes, rays missing the mesh bounds) share one overflow bin
+  whose tiles skip every round.
+
+* the exactness repair is a COMPACTED second pass: the (rare) flagged
+  rays are gathered into a small fixed buffer and rerun through the
+  same pipeline with the FULL entry-ordered block list per tile
+  (rounds = K, affordable at the small scale), which cannot overflow
+  and is therefore exact. Only a flagged population larger than the
+  buffer (never observed; requires ~every tile to overflow) falls back
+  to the full sweep.
 
 Pipeline per call (reference semantics: nearest hit, exact — equal to
-brute force; the reference's traversal contract is
-pathtrace.cu:1023-1235):
+brute force; the traversal contract being replaced is
+traverseKDbareShortHybrid, /root/reference/src/pathtrace.cu:1023-1235):
 
   1. argmin cull  (Pallas): per-ray best-entry block id, one fused
                   matmul + running-argmin pass; nothing [N, K] in HBM.
-  2. bin          counting-sort rank per ray (stable) + inverse
+  2. bin          stable counting-sort rank per ray + inverse
                   permutation; applied with one row gather.
   3. tile cull    (reuse cluster._cull_pallas): [tiles, K] tile-min
                   entry bounds on the BINNED order.
@@ -29,13 +42,8 @@ pathtrace.cu:1023-1235):
                   lists, R = config.binned_rounds.
   5. intersect    (reuse cluster._cluster_pallas): grid (tiles, R)
                   MXU rounds with per-tile early exit.
-  6. repair       (reuse cluster._sweep_pallas under lax.cond): any ray
-                  whose tile overflowed R and could still be beaten
-                  reruns against all blocks — rare by construction.
+  6. repair       compacted second pass (above).
   7. un-bin       gather results back by rank.
-
-Reference for the contract being replaced: traverseKDbareShortHybrid
-(/root/reference/src/pathtrace.cu:1023-1235).
 """
 
 from __future__ import annotations
@@ -49,6 +57,11 @@ from kdtreepathtraceroptimization_tpu.ops import cluster as cl
 from kdtreepathtraceroptimization_tpu.ops import mxu_bf
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
 from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
+
+# Repair buffer: flagged rays per call are compacted into this many
+# lanes (4 tiles of 1024). Dragon-scale bounces flag well under 1k rays
+# once tiles are binned; a larger population falls back to the sweep.
+REPAIR_LANES = 4096
 
 
 # ---------------------------------------------------------------------------
@@ -122,16 +135,66 @@ def _argmin_ref(x, cull_w, blk):
 # ---------------------------------------------------------------------------
 
 
-def _bin_rank(bins: jax.Array, n_bins: int) -> jax.Array:
+def _bin_rank(bins: jax.Array):
     """Stable counting-sort rank: rank[i] = position of ray i in the
-    bin-sorted order. XLA form (argsort + scatter of iota); a Pallas
-    MXU counting-rank is a drop-in upgrade if this shows up in
-    profiles."""
+    bin-sorted order; perm gathers into that order (rank = perm^-1).
+    XLA form (one 2-operand lax.sort + one i32 scatter, ~2.5 + ~5 ms at
+    640k on v5e, exp/perm_micro2.py); a Pallas MXU counting-rank is a
+    drop-in upgrade if this shows up in profiles."""
     n = bins.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     _, perm = jax.lax.sort((bins, iota), num_keys=1)
     rank = jnp.zeros((n,), jnp.int32).at[perm].set(iota)
     return rank, perm
+
+
+# ---------------------------------------------------------------------------
+# core pipeline (one pass)
+# ---------------------------------------------------------------------------
+
+
+def _binned_pass(x, cm: "cl.ClusterMesh", tile: int, rounds: int,
+                 on_tpu: bool, interpret: bool):
+    """One binned cull+select+intersect pass over x [n, 8] (n a multiple
+    of tile; columns o(3) d(3) t0 act). Returns (bt, btri, flagged) in
+    the ORIGINAL ray order."""
+    npad = x.shape[0]
+    kp = cm.n_blocks
+    rounds = min(rounds, kp)
+
+    if on_tpu:
+        bins = _argmin_pallas(x, cm.cull_w, cm.blk, tile, interpret)
+    else:
+        bins = _argmin_ref(x, cm.cull_w, cm.blk)
+
+    rank, perm = _bin_rank(bins)
+    x = x[perm]
+    t0s = x[:, 6]
+    acts = x[:, 7]
+
+    if on_tpu:
+        tile_entry = cl._cull_pallas(x, cm.cull_w, cm.blk, tile, interpret)
+    else:
+        tile_entry = cl._cull_ref(x, cm.cull_w, cm.blk, tile)
+    sel, lb, lb_over = cl._select(tile_entry, rounds)
+    rounds = sel.shape[1]
+
+    r = mxu_bf.ray_features(x[:, 0:3], x[:, 3:6])
+    r = jnp.concatenate([r, jnp.zeros((npad, 6), jnp.float32)], axis=1)
+
+    if on_tpu:
+        bt, btri = cl._cluster_pallas(sel, lb, r, t0s, acts, cm.w,
+                                      tile, block=cm.block, rounds=rounds,
+                                      interpret=interpret)
+    else:
+        bt, btri = cl._cluster_ref(sel, lb, r, t0s, acts, cm.w,
+                                   tile, cm.block, rounds)
+
+    over = jnp.repeat(lb_over, tile)
+    flagged = (acts > 0) & (over < bt)
+
+    # back to original order (gather by rank — the inverse permutation)
+    return bt[rank], btri[rank], flagged[rank]
 
 
 # ---------------------------------------------------------------------------
@@ -150,9 +213,7 @@ def intersect_mesh_binned(origin, direction, cm: "cl.ClusterMesh", config,
     n = origin.shape[0]
     tile = config.cluster_tile
     rounds = config.binned_rounds
-    block = cm.block
     kp = cm.n_blocks
-    rounds = min(rounds, kp)
 
     origin = jnp.asarray(origin, jnp.float32) - cm.center_shift
     direction = jnp.asarray(direction, jnp.float32)
@@ -177,62 +238,64 @@ def intersect_mesh_binned(origin, direction, cm: "cl.ClusterMesh", config,
 
     on_tpu = jax.default_backend() == "tpu" or interpret
 
-    # 1. per-ray argmin-entry block id
-    if on_tpu:
-        bins = _argmin_pallas(x, cm.cull_w, cm.blk, tile, interpret)
-    else:
-        bins = _argmin_ref(x, cm.cull_w, cm.blk)
+    bt, btri, flagged = _binned_pass(x, cm, tile, rounds, on_tpu, interpret)
 
-    # 2. stable counting-sort by bin; apply with ONE row gather
-    rank, perm = _bin_rank(bins, kp + 1)
-    x = x[perm]
-    t0s = x[:, 6]
-    acts = x[:, 7]
+    # --- exactness repair: compacted second pass --------------------------
+    # A flagged ray's tile overflowed `rounds`: its first unselected
+    # block could still beat bt. Compact the flagged rays into a small
+    # fixed buffer, bound them by their current bt, and rerun with the
+    # FULL per-tile block list (rounds = kp — cannot overflow, so the
+    # result is exact). The early exit makes the unused rounds ~free at
+    # this scale, and sel fits SMEM ([REPAIR_LANES/tile, kp] i32).
+    m = min(REPAIR_LANES, npad)
+    tile2 = min(tile, m)
+    n_flag = jnp.sum(flagged.astype(jnp.int32))
 
-    # 3-4. tile-min entry bounds + entry-ordered selection (binned order)
-    if on_tpu:
-        tile_entry = cl._cull_pallas(x, cm.cull_w, cm.blk, tile, interpret)
-    else:
-        tile_entry = cl._cull_ref(x, cm.cull_w, cm.blk, tile)
-    sel, lb, lb_over = cl._select(tile_entry, rounds)
-    rounds = sel.shape[1]
-
-    r = mxu_bf.ray_features(x[:, 0:3], x[:, 3:6])
-    r = jnp.concatenate([r, jnp.zeros((npad, 6), jnp.float32)], axis=1)
-
-    # 5. MXU rounds with per-tile early exit
-    if on_tpu:
-        bt, btri = cl._cluster_pallas(sel, lb, r, t0s, acts, cm.w,
-                                      tile, block, rounds, interpret)
-    else:
-        bt, btri = cl._cluster_ref(sel, lb, r, t0s, acts, cm.w,
-                                   tile, block, rounds)
-
-    # 6. exactness repair (see cluster.intersect_mesh_cluster)
-    over = jnp.repeat(lb_over, tile)
-    flagged = (acts > 0) & (over < bt)
-
-    def repair(args):
+    def repair_compact(args):
         bt, btri = args
+        # fill_value=npad: padding gathers clip (read garbage, masked by
+        # `live`) and padding scatters drop — no aliasing with lane 0.
+        pos = jnp.nonzero(flagged, size=m, fill_value=npad)[0]
+        live = jnp.arange(m, dtype=jnp.int32) < n_flag
+        x2 = x[pos]
+        # re-bound by current best; deactivate padding lanes
+        x2 = x2.at[:, 6].set(jnp.where(live, bt[pos], 0.0))
+        x2 = x2.at[:, 7].set(jnp.where(live, x2[:, 7], 0.0))
+        x2 = x2.at[:, 3:6].mul(live[:, None].astype(jnp.float32))
+        bt2, btri2, _ = _binned_pass(x2, cm, tile2, kp, on_tpu, interpret)
+        upd = live & (btri2 >= 0)
+        bt = bt.at[pos].set(jnp.where(upd, bt2, bt[pos]))
+        btri = btri.at[pos].set(jnp.where(upd, btri2, btri[pos]))
+        return bt, btri
+
+    def repair_sweep(args):
+        # Overflow fallback (flagged population larger than the buffer):
+        # t-bounded sweep over every block. Exact, slow, ~never taken.
+        bt, btri = args
+        r = mxu_bf.ray_features(x[:, 0:3], x[:, 3:6])
+        r = jnp.concatenate([r, jnp.zeros((npad, 6), jnp.float32)], axis=1)
         if on_tpu:
-            bt2, btri2 = cl._sweep_pallas(r, bt, cm.w, tile, block, interpret)
+            bt2, btri2 = cl._sweep_pallas(r, bt, cm.w, tile, cm.block,
+                                          interpret)
         else:
             g = npad // tile
             all_sel = jnp.broadcast_to(
                 jnp.arange(kp, dtype=jnp.int32)[None, :], (g, kp)
             )
-            bt2, btri2 = cl._cluster_ref(all_sel, None, r, bt, acts,
-                                         cm.w, tile, block, kp)
+            bt2, btri2 = cl._cluster_ref(all_sel, None, r, bt, actf,
+                                         cm.w, tile, cm.block, kp)
         keep = btri2 >= 0
         return jnp.where(keep, bt2, bt), jnp.where(keep, btri2, btri)
 
     bt, btri = jax.lax.cond(
-        jnp.any(flagged), repair, lambda a: a, (bt, btri)
+        n_flag > 0,
+        lambda args: jax.lax.cond(n_flag <= m, repair_compact, repair_sweep,
+                                  args),
+        lambda args: args,
+        (bt, btri),
     )
 
-    # 7. un-bin: ray i's result sits at its rank in the sorted order
-    bt = bt[rank][:n]
-    btri = btri[rank][:n]
+    bt, btri = bt[:n], btri[:n]
     bt = jnp.where(btri >= 0, bt, BIG)
     zero = jnp.zeros((n,), jnp.float32)
     return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=zero, v=zero))

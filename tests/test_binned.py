@@ -26,7 +26,7 @@ from tests.test_cluster import _mesh, _rays
 
 def test_bin_rank_is_stable_counting_sort():
     bins = jnp.asarray([3, 1, 3, 0, 1, 1, 4, 0], jnp.int32)
-    rank, perm = _bin_rank(bins, 5)
+    rank, perm = _bin_rank(bins)
     rank = np.asarray(rank)
     perm = np.asarray(perm)
     # perm gathers into sorted order; rank is its inverse
