@@ -158,6 +158,12 @@ class RenderConfig:
     # when set.
     cluster_binned: bool = False
     binned_rounds: int = 32   # entry-ordered ceiling per binned tile
+    # Shard-local binning: the ray axis is viewed as
+    # [binned_shards, n/binned_shards] and the binning sort / repair
+    # compaction run row-wise, so a ray-sharded GSPMD program (one row
+    # per chip) emits NO cross-chip collectives in the intersector. Set
+    # to the device count of the mesh; 1 = single chip.
+    binned_shards: int = 1
     # Bounce loop form. Python-unrolled (False) lets XLA fuse across
     # bounces and sidesteps a lax.scan reverse-mode NaN pathology (see
     # trace_rays); lax.scan (True) compiles the bounce body — including

@@ -135,17 +135,37 @@ def _argmin_ref(x, cull_w, blk):
 # ---------------------------------------------------------------------------
 
 
-def _bin_rank(bins: jax.Array):
+def _bin_rank(bins: jax.Array, shards: int = 1):
     """Stable counting-sort rank: rank[i] = position of ray i in the
     bin-sorted order; perm gathers into that order (rank = perm^-1).
+
     XLA form (one 2-operand lax.sort + one i32 scatter, ~2.5 + ~5 ms at
     640k on v5e, exp/perm_micro2.py); a Pallas MXU counting-rank is a
-    drop-in upgrade if this shows up in profiles."""
+    drop-in upgrade if this shows up in profiles.
+
+    ``shards`` > 1 makes the sort SHARD-LOCAL: the ray axis is viewed
+    as [shards, n/shards] and each row sorts independently, so under a
+    ray-sharded GSPMD program (parallel/sharding.py) no cross-chip
+    all-to-all is ever emitted — each chip bins its own rays. perm/rank
+    are returned as row-local indices [shards, n/shards]."""
     n = bins.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    _, perm = jax.lax.sort((bins, iota), num_keys=1)
-    rank = jnp.zeros((n,), jnp.int32).at[perm].set(iota)
+    m = n // shards
+    b2 = bins.reshape(shards, m)
+    iota = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (shards, m), 1), (shards, m)
+    )
+    _, perm = jax.lax.sort((b2, iota), num_keys=1, dimension=1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (shards, m), 0)
+    rank = jnp.zeros((shards, m), jnp.int32).at[rows, perm].set(iota)
     return rank, perm
+
+
+def _apply_perm(a: jax.Array, perm: jax.Array):
+    """Gather rows of a [n, ...] by row-local perm [shards, n/shards]."""
+    shards, m = perm.shape
+    a2 = a.reshape((shards, m) + a.shape[1:])
+    idx = perm.reshape(perm.shape + (1,) * (a2.ndim - 2))
+    return jnp.take_along_axis(a2, idx, axis=1).reshape(a.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -154,10 +174,11 @@ def _bin_rank(bins: jax.Array):
 
 
 def _binned_pass(x, cm: "cl.ClusterMesh", tile: int, rounds: int,
-                 on_tpu: bool, interpret: bool):
+                 on_tpu: bool, interpret: bool, shards: int = 1):
     """One binned cull+select+intersect pass over x [n, 8] (n a multiple
-    of tile; columns o(3) d(3) t0 act). Returns (bt, btri, flagged) in
-    the ORIGINAL ray order."""
+    of tile*shards; columns o(3) d(3) t0 act). Returns
+    (bt, btri, flagged) in the ORIGINAL ray order. Binning is
+    shard-local (see _bin_rank)."""
     npad = x.shape[0]
     kp = cm.n_blocks
     rounds = min(rounds, kp)
@@ -167,8 +188,8 @@ def _binned_pass(x, cm: "cl.ClusterMesh", tile: int, rounds: int,
     else:
         bins = _argmin_ref(x, cm.cull_w, cm.blk)
 
-    rank, perm = _bin_rank(bins)
-    x = x[perm]
+    rank, perm = _bin_rank(bins, shards)
+    x = _apply_perm(x, perm)
     t0s = x[:, 6]
     acts = x[:, 7]
 
@@ -194,7 +215,8 @@ def _binned_pass(x, cm: "cl.ClusterMesh", tile: int, rounds: int,
     flagged = (acts > 0) & (over < bt)
 
     # back to original order (gather by rank — the inverse permutation)
-    return bt[rank], btri[rank], flagged[rank]
+    return (_apply_perm(bt, rank), _apply_perm(btri, rank),
+            _apply_perm(flagged, rank))
 
 
 # ---------------------------------------------------------------------------
@@ -237,35 +259,54 @@ def intersect_mesh_binned(origin, direction, cm: "cl.ClusterMesh", config,
     )  # [npad, 8]
 
     on_tpu = jax.default_backend() == "tpu" or interpret
+    shards = max(1, getattr(config, "binned_shards", 1))
+    if npad % (tile * shards):
+        shards = 1
 
-    bt, btri, flagged = _binned_pass(x, cm, tile, rounds, on_tpu, interpret)
+    bt, btri, flagged = _binned_pass(x, cm, tile, rounds, on_tpu, interpret,
+                                     shards)
 
     # --- exactness repair: compacted second pass --------------------------
     # A flagged ray's tile overflowed `rounds`: its first unselected
     # block could still beat bt. Compact the flagged rays into a small
-    # fixed buffer, bound them by their current bt, and rerun with the
-    # FULL per-tile block list (rounds = kp — cannot overflow, so the
-    # result is exact). The early exit makes the unused rounds ~free at
-    # this scale, and sel fits SMEM ([REPAIR_LANES/tile, kp] i32).
-    m = min(REPAIR_LANES, npad)
-    tile2 = min(tile, m)
-    n_flag = jnp.sum(flagged.astype(jnp.int32))
+    # fixed PER-SHARD buffer (one row-local sort, no cross-shard
+    # traffic), bound them by their current bt, and rerun with the FULL
+    # per-tile block list (rounds = kp — cannot overflow, so the result
+    # is exact). The early exit makes the unused rounds ~free at this
+    # scale, and sel fits SMEM ([lanes/tile, kp] i32).
+    ns = npad // shards
+    mr = min(REPAIR_LANES, ns)
+    tile2 = min(tile, mr)
+    fl2 = flagged.reshape(shards, ns)
+    count = jnp.sum(fl2.astype(jnp.int32), axis=1)  # [shards]
 
     def repair_compact(args):
         bt, btri = args
-        # fill_value=npad: padding gathers clip (read garbage, masked by
-        # `live`) and padding scatters drop — no aliasing with lane 0.
-        pos = jnp.nonzero(flagged, size=m, fill_value=npad)[0]
-        live = jnp.arange(m, dtype=jnp.int32) < n_flag
-        x2 = x[pos]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (shards, ns), 1)
+        # flagged-first row-local order; pos = source column per slot
+        _, pos_full = jax.lax.sort(
+            ((~fl2).astype(jnp.int32), iota), num_keys=1, dimension=1
+        )
+        pos = pos_full[:, :mr]                              # [shards, mr]
+        live = jax.lax.broadcasted_iota(jnp.int32, (shards, mr), 1) < count[:, None]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (shards, mr), 0)
+        x2 = x.reshape(shards, ns, 8)[rows, pos]            # [shards, mr, 8]
+        bt_g = bt.reshape(shards, ns)[rows, pos]
+        livef = live.astype(jnp.float32)
         # re-bound by current best; deactivate padding lanes
-        x2 = x2.at[:, 6].set(jnp.where(live, bt[pos], 0.0))
-        x2 = x2.at[:, 7].set(jnp.where(live, x2[:, 7], 0.0))
-        x2 = x2.at[:, 3:6].mul(live[:, None].astype(jnp.float32))
-        bt2, btri2, _ = _binned_pass(x2, cm, tile2, kp, on_tpu, interpret)
+        x2 = x2.at[:, :, 6].set(jnp.where(live, bt_g, 0.0))
+        x2 = x2.at[:, :, 7].set(x2[:, :, 7] * livef)
+        x2 = x2.at[:, :, 3:6].mul(livef[:, :, None])
+        bt2, btri2, _ = _binned_pass(x2.reshape(shards * mr, 8), cm, tile2,
+                                     kp, on_tpu, interpret, shards)
+        bt2 = bt2.reshape(shards, mr)
+        btri2 = btri2.reshape(shards, mr)
         upd = live & (btri2 >= 0)
-        bt = bt.at[pos].set(jnp.where(upd, bt2, bt[pos]))
-        btri = btri.at[pos].set(jnp.where(upd, btri2, btri[pos]))
+        bt = bt.reshape(shards, ns).at[rows, pos].set(
+            jnp.where(upd, bt2, bt_g)).reshape(npad)
+        btri = btri.reshape(shards, ns).at[rows, pos].set(
+            jnp.where(upd, btri2, btri.reshape(shards, ns)[rows, pos])
+        ).reshape(npad)
         return bt, btri
 
     def repair_sweep(args):
@@ -287,10 +328,11 @@ def intersect_mesh_binned(origin, direction, cm: "cl.ClusterMesh", config,
         keep = btri2 >= 0
         return jnp.where(keep, bt2, bt), jnp.where(keep, btri2, btri)
 
+    max_count = jnp.max(count)
     bt, btri = jax.lax.cond(
-        n_flag > 0,
-        lambda args: jax.lax.cond(n_flag <= m, repair_compact, repair_sweep,
-                                  args),
+        max_count > 0,
+        lambda args: jax.lax.cond(max_count <= mr, repair_compact,
+                                  repair_sweep, args),
         lambda args: args,
         (bt, btri),
     )

@@ -27,8 +27,8 @@ from tests.test_cluster import _mesh, _rays
 def test_bin_rank_is_stable_counting_sort():
     bins = jnp.asarray([3, 1, 3, 0, 1, 1, 4, 0], jnp.int32)
     rank, perm = _bin_rank(bins)
-    rank = np.asarray(rank)
-    perm = np.asarray(perm)
+    rank = np.asarray(rank).ravel()
+    perm = np.asarray(perm).ravel()
     # perm gathers into sorted order; rank is its inverse
     b = np.asarray(bins)
     assert (np.sort(b) == b[perm]).all()
@@ -37,6 +37,34 @@ def test_bin_rank_is_stable_counting_sort():
     for v in np.unique(b):
         idx = np.where(b == v)[0]
         assert (np.diff(rank[idx]) > 0).all()
+
+
+def test_bin_rank_shard_local():
+    """shards=2: each row sorts independently with row-local indices."""
+    rng = np.random.default_rng(0)
+    bins = jnp.asarray(rng.integers(0, 7, 32).astype(np.int32))
+    rank, perm = _bin_rank(bins, shards=2)
+    rank, perm = np.asarray(rank), np.asarray(perm)
+    b = np.asarray(bins).reshape(2, 16)
+    for s in range(2):
+        assert (np.sort(b[s]) == b[s][perm[s]]).all()
+        assert (rank[s][perm[s]] == np.arange(16)).all()
+
+
+def test_binned_shards_match_unsharded():
+    """The shard-local pipeline gives identical hits to shards=1."""
+    mesh = _mesh(3)
+    cm = build_cluster_mesh(mesh, block=64)
+    o, d = _rays(2048, seed=9)
+    cfg1 = RenderConfig(cluster=True, cluster_binned=True,
+                        cluster_tile=256, binned_rounds=4)
+    cfg4 = RenderConfig(cluster=True, cluster_binned=True,
+                        cluster_tile=256, binned_rounds=4, binned_shards=4)
+    h1 = intersect_mesh_binned(o, d, cm, cfg1)
+    h4 = intersect_mesh_binned(o, d, cm, cfg4)
+    np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h4.t),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(h1.tri), np.asarray(h4.tri))
 
 
 def test_argmin_bins_match_entry_order():
