@@ -75,6 +75,7 @@ def make_sharded_render_fn(scene, config: RenderConfig, mesh: Mesh):
         scene.kd,
         scene.camera,
     )
+    cmesh = getattr(scene, "cmesh", None)
 
     @functools.partial(
         jax.jit,
@@ -84,7 +85,8 @@ def make_sharded_render_fn(scene, config: RenderConfig, mesh: Mesh):
     )
     def render_step(film, base_key, iteration):
         radiance = trace_iteration(
-            geoms, materials, msh, kd, camera, config, base_key, iteration
+            geoms, materials, msh, kd, camera, config, base_key, iteration,
+            cmesh=cmesh,
         )
         return film + radiance
 
