@@ -79,10 +79,12 @@ def run_config(mode: str, res: int, subdiv, iters: int, repeats: int) -> dict:
     scene, n_tris, label = _mesh_scene(res, subdiv)
     depth = 8
     kwargs = dict(trace_depth=depth, antialias=True, scan_bounces=True)
-    if mode == "binned":
-        kwargs.update(cluster=True, cluster_binned=True)
+    if mode == "walk":
+        kwargs.update(cluster=True, cluster_walk=True)
+    elif mode == "binned":
+        kwargs.update(cluster=True, cluster_binned=True, cluster_walk=False)
     elif mode == "cluster":
-        kwargs.update(cluster=True)
+        kwargs.update(cluster=True, cluster_walk=False)
     config = RenderConfig(**kwargs)
 
     block = make_render_block_fn(scene, config, iters)
@@ -141,12 +143,12 @@ def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
         candidates = [
-            ("binned", 800, "-", 10, 3, 3600),
-            ("cluster", 800, "-", 10, 3, 3600),
+            ("walk", 800, "-", 10, 3, 3600),
+            ("walk", 512, "5", 3, 2, 1800),
             ("cluster", 512, "5", 3, 2, 1800),
         ]
     else:
-        candidates = [("binned", 200, "3", 3, 1, 900),
+        candidates = [("walk", 200, "3", 3, 1, 900),
                       ("cluster", 200, "3", 3, 1, 900)]
 
     me = os.path.abspath(__file__)

@@ -158,6 +158,13 @@ class RenderConfig:
     # when set.
     cluster_binned: bool = False
     binned_rounds: int = 32   # entry-ordered ceiling per binned tile
+    # Exact entry-ordered walk intersector (ops/walk.py): AABB slab
+    # culls + per-tile while_loop over the FULL feasible list with
+    # double-buffered weight DMA and a real early exit. No round
+    # budget, no repair pass — exact by construction. Measured to
+    # dominate both `cluster` and `cluster_binned` on incoherent
+    # wavefronts (exp/bin_stats2.py). Takes precedence over both.
+    cluster_walk: bool = True
     # Shard-local binning: the ray axis is viewed as
     # [binned_shards, n/binned_shards] and the binning sort / repair
     # compaction run row-wise, so a ray-sharded GSPMD program (one row

@@ -162,7 +162,7 @@ def test_cluster_render_matches_kd():
     img_cl = np.asarray(render(
         scene,
         RenderConfig(trace_depth=4, cluster=True, cluster_tile=256,
-                     cluster_rounds=6),
+                     cluster_rounds=6, cluster_walk=False),
         spp=spp, seed=0,
     ))
     diff = np.abs(img_kd - img_cl)
