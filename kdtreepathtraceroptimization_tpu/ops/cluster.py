@@ -111,28 +111,75 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
-def build_cluster_mesh(mesh, block: int = 256) -> ClusterMesh:
-    """Host build: Morton-sort triangles, chunk into blocks of ``block``,
-    precompute MT weights + bounding spheres. O(T log T), numpy."""
+def _kd_leaf_order(v0, v1, v2, cap: int) -> np.ndarray:
+    """Median-split KD partition into leaves of <= cap triangles.
+
+    Returns [n_leaves, cap] triangle indices, each leaf padded to cap
+    by repeating its last member (marked degenerate by the caller).
+    Leaf AABBs are spatially tight and ~disjoint, which cuts the
+    per-ray feasible-block count ~2.5x vs Morton chunking (measured,
+    exp/kdblock_sim.py: 5.69 -> 2.24 mean on cornell+dragon). Split
+    semantics follow the reference's median build
+    (/root/reference/src/KDtree.cpp split) but on the widest centroid
+    axis with a leaf cap instead of a fixed depth.
+    """
+    cent = (v0 + v1 + v2) / 3.0
+    out = []
+
+    def rec(idx):
+        if idx.size <= cap:
+            out.append(np.concatenate(
+                [idx, np.full(cap - idx.size, idx[-1], np.int64)]))
+            return
+        c = cent[idx]
+        ax = int(np.argmax(c.max(0) - c.min(0)))
+        med = np.argsort(c[:, ax], kind="stable")
+        half = idx.size // 2
+        rec(idx[med[:half]])
+        rec(idx[med[half:]])
+
+    rec(np.arange(v0.shape[0], dtype=np.int64))
+    return np.stack(out)
+
+
+def build_cluster_mesh(mesh, block: int = 256,
+                       method: str = "kd") -> ClusterMesh:
+    """Host build: cluster triangles into blocks of ``block``,
+    precompute MT weights + bounds. O(T log T), numpy.
+
+    ``method``: "kd" (default) = median-split spatial leaves, tight
+    ~disjoint AABBs; "morton" = Z-order chunks (round-2 layout, looser
+    bounds, zero padding overhead).
+    """
     from kdtreepathtraceroptimization_tpu.scene.structs import MeshSoA
 
     v0 = np.asarray(mesh.v0, np.float32)
     v1 = np.asarray(mesh.v1, np.float32)
     v2 = np.asarray(mesh.v2, np.float32)
     t_count = v0.shape[0]
-    cent = (v0 + v1 + v2) / 3.0
-    order = np.argsort(_morton3(cent), kind="stable")
 
-    pad = (-t_count) % block
-    idx = np.concatenate([order, np.full(pad, order[-1], np.int64)])
-    # Padded slots duplicate the last triangle but with all-equal
+    if method == "kd":
+        leaf = _kd_leaf_order(v0, v1, v2, block)  # [K, block]
+        idx = leaf.reshape(-1)
+        # a slot is padding iff it repeats the slot before it (leaves
+        # pad by repeating their last member)
+        real = np.ones(idx.shape[0], bool)
+        real[1:] = idx[1:] != idx[:-1]
+    else:
+        cent = (v0 + v1 + v2) / 3.0
+        order = np.argsort(_morton3(cent), kind="stable")
+        pad = (-t_count) % block
+        idx = np.concatenate([order, np.full(pad, order[-1], np.int64)])
+        real = np.ones(idx.shape[0], bool)
+        real[t_count:] = False
+
+    # Padding slots duplicate a real triangle but with all-equal
     # vertices (degenerate -> MT determinant 0 -> culled, never wins).
     dv0 = v0[idx].copy()
     dv1 = v1[idx].copy()
     dv2 = v2[idx].copy()
-    if pad:
-        dv1[t_count:] = dv0[t_count:]
-        dv2[t_count:] = dv0[t_count:]
+    dv1[~real] = dv0[~real]
+    dv2[~real] = dv0[~real]
 
     tris = MeshSoA(
         v0=dv0, v1=dv1, v2=dv2,

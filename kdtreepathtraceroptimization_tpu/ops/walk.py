@@ -179,14 +179,14 @@ def _walk_kernel(sel_ref, lb_ref, ns_ref, r_ref, t0_ref, act_ref, w_hbm,
     btri_ref[:, :] = jnp.full((tile, 1), -1, jnp.int32)
     act = act_ref[:, :] > 0.0
 
-    nr = ns_ref[0, 0]
+    nr = ns_ref[0, 0, 0]
 
     def dma(slot, rr):
         return pltpu.make_async_copy(
-            w_hbm.at[sel_ref[0, rr]], wbuf.at[slot], sem.at[slot]
+            w_hbm.at[sel_ref[0, 0, rr]], wbuf.at[slot], sem.at[slot]
         )
 
-    live0 = (nr > 0) & jnp.any(act & (t0_ref[:, :] > lb_ref[0, 0]))
+    live0 = (nr > 0) & jnp.any(act & (t0_ref[:, :] > lb_ref[0, 0, 0]))
 
     @pl.when(live0)
     def _():
@@ -218,7 +218,7 @@ def _walk_kernel(sel_ref, lb_ref, ns_ref, r_ref, t0_ref, act_ref, w_hbm,
         bt_new = jnp.where(better, lt, bt)
         bt_ref[:, :] = bt_new
         btri_ref[:, :] = jnp.where(
-            better, sel_ref[0, rr] * block + loc, btri_ref[:, :]
+            better, sel_ref[0, 0, rr] * block + loc, btri_ref[:, :]
         )
         # Early exit: entry-ordered lists mean no later block can beat
         # a ray already at or below the next entry bound; the tile
@@ -226,7 +226,7 @@ def _walk_kernel(sel_ref, lb_ref, ns_ref, r_ref, t0_ref, act_ref, w_hbm,
         # nsel, so rr == nr also terminates here.
         # (nxt can reach kp on the last round; clamp the read — the
         # nxt < nr term already kills `live` there.)
-        nxt_lb = lb_ref[0, jnp.minimum(nxt, kp - 1)]
+        nxt_lb = lb_ref[0, 0, jnp.minimum(nxt, kp - 1)]
         live = (nxt < nr) & jnp.any(act & (bt_new > nxt_lb))
         return nxt, live
 
@@ -254,11 +254,13 @@ def _walk_pallas(sel, lb, nsel, r, t0, act, w, tile: int, block: int,
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, kp), lambda i: (i, 0),
+            # SMEM blocks must match the trailing array dims exactly;
+            # the [g, 1, kp] layout gives per-tile (1, 1, kp) blocks.
+            pl.BlockSpec((1, 1, kp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, kp), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, kp), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile, 16), lambda i: (i, 0)),
             pl.BlockSpec((tile, 1), lambda i: (i, 0)),
@@ -278,7 +280,8 @@ def _walk_pallas(sel, lb, nsel, r, t0, act, w, tile: int, block: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(sel, lb, nsel, r, t0.reshape(n, 1), act.reshape(n, 1), w)
+    )(sel.reshape(g, 1, kp), lb.reshape(g, 1, kp), nsel.reshape(g, 1, 1),
+      r, t0.reshape(n, 1), act.reshape(n, 1), w)
     return bt.reshape(n), btri.reshape(n)
 
 

@@ -51,19 +51,22 @@ def test_build_covers_all_triangles():
     mesh = _mesh(2)
     cm = build_cluster_mesh(mesh, block=64)
     t = mesh.v0.shape[0]
-    # every original triangle appears in the block-ordered table
+    # every original triangle appears in the block-ordered table;
+    # padding slots (kd leaves pad by degenerate duplicates) excluded
     orig = np.stack([mesh.v0, mesh.v1, mesh.v2], 1)
-    blocked = np.stack([np.asarray(cm.tris.v0), np.asarray(cm.tris.v1),
-                        np.asarray(cm.tris.v2)], 1)[: t]
+    full = np.stack([np.asarray(cm.tris.v0), np.asarray(cm.tris.v1),
+                     np.asarray(cm.tris.v2)], 1)
+    degen = (np.abs(full[:, 1] - full[:, 0]).max(1) == 0) & (
+        np.abs(full[:, 2] - full[:, 0]).max(1) == 0)
+    blocked = full[~degen]
+    assert blocked.shape[0] == t
     key = lambda a: set(map(tuple, a.reshape(a.shape[0], -1).round(5).tolist()))
     assert key(orig) == key(blocked)
     # spheres contain their triangles (real blocks only — the block
     # axis is lane-padded with never-feasible sentinels)
     k = cm.n_real_blocks
     b = cm.block
-    v = (blocked if t == k * b else np.stack(
-        [np.asarray(cm.tris.v0), np.asarray(cm.tris.v1),
-         np.asarray(cm.tris.v2)], 1)).reshape(k, b, 3, 3)
+    v = full.reshape(k, b, 3, 3)
     blk = np.asarray(cm.blk)
     c = blk[0:3, :k].T + np.asarray(cm.center_shift)
     r = blk[3, :k]
