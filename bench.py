@@ -79,12 +79,14 @@ def run_config(mode: str, res: int, subdiv, iters: int, repeats: int) -> dict:
     scene, n_tris, label = _mesh_scene(res, subdiv)
     depth = 8
     kwargs = dict(trace_depth=depth, antialias=True, scan_bounces=True)
-    if mode == "walk":
-        kwargs.update(cluster=True, cluster_walk=True)
+    if mode == "pairs":
+        kwargs.update(cluster=True, cluster_pairs=True)
+    elif mode == "walk":
+        kwargs.update(cluster=True, cluster_walk=True, cluster_pairs=False)
     elif mode == "binned":
         kwargs.update(cluster=True, cluster_binned=True, cluster_walk=False)
     elif mode == "cluster":
-        kwargs.update(cluster=True, cluster_walk=False)
+        kwargs.update(cluster=True, cluster_walk=False, cluster_pairs=False)
     config = RenderConfig(**kwargs)
 
     block = make_render_block_fn(scene, config, iters)
@@ -143,13 +145,13 @@ def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
         candidates = [
-            ("walk", 800, "-", 10, 3, 3600),
+            ("pairs", 800, "-", 10, 3, 3600),
+            ("walk", 800, "-", 5, 2, 3600),
             ("walk", 512, "5", 3, 2, 1800),
-            ("cluster", 512, "5", 3, 2, 1800),
         ]
     else:
-        candidates = [("walk", 200, "3", 3, 1, 900),
-                      ("cluster", 200, "3", 3, 1, 900)]
+        candidates = [("pairs", 200, "3", 3, 1, 900),
+                      ("walk", 200, "3", 3, 1, 900)]
 
     me = os.path.abspath(__file__)
     for mode, res, subdiv, iters, repeats, tmo in candidates:

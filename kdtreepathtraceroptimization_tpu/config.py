@@ -164,7 +164,17 @@ class RenderConfig:
     # budget, no repair pass — exact by construction. Measured to
     # dominate both `cluster` and `cluster_binned` on incoherent
     # wavefronts (exp/bin_stats2.py). Takes precedence over both.
-    cluster_walk: bool = True
+    cluster_walk: bool = False
+    # Pair-list intersector (ops/pairs.py): per-ray top-F feasible
+    # blocks become (ray, block) pairs, grouped mono-block per MXU
+    # tile — work scales with the per-ray feasible count (~2.24 on
+    # cornell+dragon) instead of the per-tile union (~66-300) that
+    # caps every tile-shared design. Exact via the lb_over proof +
+    # windowed second pass + exhaustive-walk tail. The production
+    # default; takes precedence over all other cluster intersectors.
+    cluster_pairs: bool = True
+    pair_slots: int = 4    # F: pairs per ray in pass 1
+    pair_tile: int = 256   # pairs per mono-block MXU tile
     # Shard-local binning: the ray axis is viewed as
     # [binned_shards, n/binned_shards] and the binning sort / repair
     # compaction run row-wise, so a ray-sharded GSPMD program (one row

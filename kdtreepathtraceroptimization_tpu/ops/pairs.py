@@ -1,0 +1,427 @@
+"""Pair-list intersection: per-ray-optimal MXU scheduling.
+
+Every tile-shared design measured on cornell+dragon (ops/cluster.py
+budget+repair, ops/binned.py argmin bins, ops/walk.py exact walk) pays
+per tile for the UNION of its rays' feasible blocks — 65-300 blocks
+against a per-ray feasible count of just 2.24 (KD-leaf blocks, AABB
+culls; exp/kdblock_sim.py). The union inflation is irreducible by
+reordering (exp/bin_stats2.py tried four orderings) because diffuse
+wavefronts are genuinely incoherent: the walk kernel measures 469
+ns/ray on the real v5e where the per-ray-optimal matmul cost is ~12 ns.
+
+This module schedules (ray, block) PAIRS instead:
+
+  1. extract   (Pallas): per ray, its F smallest-entry feasible blocks
+               (iterated masked argmin over the slab-cull entries) plus
+               the (F+1)-th entry bound ``lb_over`` (the exactness
+               proof threshold) and the feasible count.
+  2. group     pairs sorted by block id (one 2-operand lax.sort of the
+               [N*F] slot array; sentinel slots sink to the end), then
+               laid out so every 256-pair tile is MONO-BLOCK (per-block
+               counts aligned up to the tile size — block-sparse
+               layout, all shapes static).
+  3. test      (Pallas): one grid cell per pair tile; the tile's block
+               id is scalar-prefetched, its [16, 4B] Moller-Trumbore
+               weight block streamed once, one MXU round; per-slot
+               nearest (t, loc).
+  4. reduce    results return to [N, F] slot order (one keyed sort) and
+               fold with a per-ray min — deterministic, no scatter.
+  5. prove     a ray is EXACT when its best t <= lb_over (no untested
+               block's entry can beat it). Unproven rays (measured
+               ~4.5% at F=4) are compacted and rerun with a deeper
+               window (slots F..F2); the residual tail (~0%) falls back
+               to the exhaustive walk kernel. Exact by construction.
+
+The traversal contract being replaced: traverseKDbareShortHybrid,
+/root/reference/src/pathtrace.cu:1023-1235.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from kdtreepathtraceroptimization_tpu.ops import cluster as cl
+from kdtreepathtraceroptimization_tpu.ops import mxu_bf
+from kdtreepathtraceroptimization_tpu.ops import walk as wk
+from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
+
+# second-pass window depth and compaction buffer (see module docstring)
+F2 = 20
+REPAIR_LANES = 65536
+WALK_LANES = 8192
+
+
+# ---------------------------------------------------------------------------
+# 1. extraction
+# ---------------------------------------------------------------------------
+
+
+def _extract_math(x, prod, blk, kp, F):
+    """[sub, 16] features + [sub, 6K] slab products -> per-ray top-F
+    entry-ordered feasible block ids [sub, F] (kp where exhausted),
+    lb_over [sub, 1] (the (F+1)-th smallest entry; BIG when none) and
+    feasible count [sub, 1]."""
+    entry = wk._slab_entry_math(x, prod, blk, kp)  # [sub, K]
+    count = jnp.sum((entry < BIG).astype(jnp.int32), axis=1, keepdims=True)
+    cols = jax.lax.broadcasted_iota(jnp.int32, entry.shape, 1)
+    ids = []
+    for _ in range(F):
+        best = jnp.min(entry, axis=1, keepdims=True)
+        am = jnp.argmin(entry, axis=1).astype(jnp.int32)[:, None]
+        ids.append(jnp.where(best < BIG, am, jnp.int32(kp)))
+        entry = jnp.where(cols == am, BIG, entry)
+    lb_over = jnp.min(entry, axis=1, keepdims=True)
+    return jnp.concatenate(ids, axis=1), lb_over, count
+
+
+def _extract_kernel(x_ref, sw_ref, blk_ref, ids_ref, lbov_ref, cnt_ref,
+                    *, kp, tile, F):
+    sub = tile // 8
+    for m in range(8):
+        x = x_ref[m * sub:(m + 1) * sub, :]
+        prod = jax.lax.dot_general(
+            x, sw_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ids, lbov, cnt = _extract_math(x, prod, blk_ref, kp, F)
+        ids_ref[m * sub:(m + 1) * sub, :] = ids
+        lbov_ref[m * sub:(m + 1) * sub, :] = lbov
+        cnt_ref[m * sub:(m + 1) * sub, :] = cnt
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "F", "interpret"))
+def _extract_pallas(x, slab_w, blk, tile: int, F: int, interpret: bool):
+    import jax.experimental.pallas as pl
+
+    n = x.shape[0]
+    kp = blk.shape[1]
+    g = n // tile
+    kernel = functools.partial(_extract_kernel, kp=kp, tile=tile, F=F)
+    ids, lbov, cnt = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((tile, 16), lambda i: (i, 0)),
+            pl.BlockSpec((16, 6 * kp), lambda i: (0, 0)),
+            pl.BlockSpec((8, kp), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, F), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, F), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, slab_w, blk)
+    return ids, lbov.reshape(n), cnt.reshape(n)
+
+
+def _extract_ref(x, slab_w, blk, F):
+    """jnp mirror (CPU path / oracle)."""
+    kp = blk.shape[1]
+    prod = x @ slab_w
+    ids, lbov, cnt = _extract_math(x, prod, blk, kp, F)
+    return ids, lbov.reshape(-1), cnt.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# 2-4. one pair pass: group, test, reduce
+# ---------------------------------------------------------------------------
+
+
+def _pair_kernel(blkid_ref, f_ref, t0_ref, w_ref, t_ref, loc_ref,
+                 *, block, ptile):
+    """One MXU round per mono-block pair tile."""
+    import jax.experimental.pallas as pl
+
+    real = blkid_ref[0] >= 0
+
+    @pl.when(real)
+    def _():
+        prod = jax.lax.dot_general(
+            f_ref[:, :], w_ref[0, :, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t = mxu_bf._epilogue(prod, block, t0_ref[:, :])
+        t_ref[:, :] = jnp.min(t, axis=1, keepdims=True)
+        loc_ref[:, :] = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+
+    @pl.when(jnp.logical_not(real))
+    def _():
+        t_ref[:, :] = jnp.full((ptile, 1), BIG, jnp.float32)
+        loc_ref[:, :] = jnp.zeros((ptile, 1), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "ptile", "interpret"))
+def _pair_test_pallas(blkid, feat, t0, w, block: int, ptile: int,
+                      interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = feat.shape[0]
+    g = s // ptile
+    kernel = functools.partial(_pair_kernel, block=block, ptile=ptile)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # blkid [g]
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((ptile, 16), lambda i, blkid: (i, 0)),
+            pl.BlockSpec((ptile, 1), lambda i, blkid: (i, 0)),
+            pl.BlockSpec((1, 16, 4 * block),
+                         lambda i, blkid: (jnp.maximum(blkid[i], 0), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((ptile, 1), lambda i, blkid: (i, 0)),
+            pl.BlockSpec((ptile, 1), lambda i, blkid: (i, 0)),
+        ],
+    )
+    t, loc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(blkid, feat, t0.reshape(s, 1), w)
+    return t.reshape(s), loc.reshape(s)
+
+
+def _pair_test_ref(blkid, feat, t0, w, block: int, ptile: int):
+    """jnp mirror of the pair-tile kernel."""
+    s = feat.shape[0]
+    g = s // ptile
+    wsel = w[jnp.maximum(blkid, 0)]                       # [g, 16, 4B]
+    prod = jnp.einsum("gtf,gfc->gtc", feat.reshape(g, ptile, 16), wsel)
+    t = mxu_bf._epilogue(prod.reshape(s, 4 * block), block, t0)
+    t = t.reshape(g, ptile, block)
+    tmin = jnp.min(t, axis=2).reshape(s)
+    loc = jnp.argmin(t, axis=2).reshape(s).astype(jnp.int32)
+    real = jnp.repeat(blkid >= 0, ptile)
+    return jnp.where(real, tmin, BIG), jnp.where(real, loc, 0)
+
+
+def _pair_pass(ids, r, t0, cm, ptile, kreal, on_tpu, interpret):
+    """Test every (ray, block) pair in ``ids`` [n, F]; return per-ray
+    (t_best [n], tri_best [n]) over those pairs (BIG/-1 where none).
+
+    ids == kp marks empty slots. r [n,16] MT features; t0 [n] per-ray
+    upper bound for the epilogue."""
+    n, F = ids.shape
+    kp = cm.n_blocks
+    P = n * F
+    block = cm.block
+
+    keys = ids.reshape(P)
+    pidx = jnp.arange(P, dtype=jnp.int32)
+    keys_s, pidx_s = jax.lax.sort((keys, pidx), num_keys=1)
+
+    # per-block segment boundaries + tile-aligned layout. The sentinel
+    # id kp gets aligned slots too (its tiles carry blkid -1 and skip
+    # compute) so that EVERY pair owns exactly one slot and the keyed
+    # back-sort below restores dense [n, F] order.
+    nb = kp + 1
+    bounds = jnp.searchsorted(keys_s, jnp.arange(nb, dtype=jnp.int32))
+    cnt = jnp.diff(jnp.concatenate([bounds, jnp.asarray([P], jnp.int32)]))
+    acnt = (cnt + ptile - 1) // ptile * ptile
+    aoff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(acnt, dtype=jnp.int32)])
+    s_max = P + nb * ptile                            # static worst case
+
+    slot = jnp.arange(s_max, dtype=jnp.int32)
+    blk_of = jnp.searchsorted(aoff, slot, side="right").astype(jnp.int32) - 1
+    blk_of = jnp.clip(blk_of, 0, nb - 1)
+    within = slot - aoff[blk_of]
+    src = bounds[blk_of] + within
+    valid = (within < cnt[blk_of]) & (slot < aoff[nb])
+    src = jnp.where(valid, src, 0)
+    slot_p = jnp.where(valid, pidx_s[src], -1)
+
+    ray = jnp.maximum(slot_p, 0) // F
+    feat = r[ray] * valid[:, None].astype(jnp.float32)
+    st0 = jnp.where(valid, t0[ray], 0.0)
+
+    # per-tile block id (mono-block by construction); -1 = padding or
+    # sentinel tiles, skipped by the kernel
+    tile_blk = blk_of.reshape(-1, ptile)[:, 0]
+    tile_live = valid.reshape(-1, ptile).any(axis=1)
+    tile_blk = jnp.where(tile_live & (tile_blk < kreal), tile_blk, -1)
+
+    if on_tpu:
+        t_s, loc_s = _pair_test_pallas(tile_blk, feat, st0, cm.w, block,
+                                       ptile, interpret)
+    else:
+        t_s, loc_s = _pair_test_ref(tile_blk, feat, st0, cm.w, block, ptile)
+    t_s = jnp.where(valid, t_s, BIG)
+
+    # back to [n, F] slot order: one keyed sort (invalid slots sink)
+    key_back = jnp.where(slot_p >= 0, slot_p, P)
+    _, t_p, loc_p = jax.lax.sort((key_back, t_s, loc_s), num_keys=1)
+    t_p = t_p[:P].reshape(n, F)
+    loc_p = loc_p[:P].reshape(n, F)
+
+    jbest = jnp.argmin(t_p, axis=1)
+    t_best = jnp.min(t_p, axis=1)
+    blk_best = jnp.take_along_axis(ids, jbest[:, None], axis=1).reshape(n)
+    loc_best = jnp.take_along_axis(loc_p, jbest[:, None], axis=1).reshape(n)
+    tri = jnp.where(t_best < BIG, blk_best * block + loc_best, -1)
+    return t_best, tri
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
+                         t_init=None, active=None,
+                         interpret: bool = False) -> TriHit:
+    """Nearest-hit over the cluster mesh; exact (brute-equal) results.
+
+    See module docstring for the three-pass proof structure.
+    """
+    n = origin.shape[0]
+    tile = config.cluster_tile
+    F = config.pair_slots
+    ptile = config.pair_tile
+    kp = cm.n_blocks
+    kreal = cm.n_real_blocks
+
+    origin = jnp.asarray(origin, jnp.float32) - cm.center_shift
+    direction = jnp.asarray(direction, jnp.float32)
+    t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
+    act = jnp.ones((n,), bool) if active is None else active
+
+    pad = (-n) % tile
+    if pad:
+        origin = jnp.concatenate([origin, jnp.zeros((pad, 3), jnp.float32)])
+        direction = jnp.concatenate([direction, jnp.zeros((pad, 3), jnp.float32)])
+        t0 = jnp.concatenate([t0, jnp.zeros((pad,), jnp.float32)])
+        act = jnp.concatenate([act, jnp.zeros((pad,), bool)])
+    npad = origin.shape[0]
+
+    direction = jnp.where(act[:, None], direction, 0.0)
+    actf = act.astype(jnp.float32)
+    x = wk._ray16(origin, direction, t0, actf)
+
+    on_tpu = jax.default_backend() == "tpu" or interpret
+
+    # pass 1: top-F pairs
+    if on_tpu:
+        ids, lbov, cnt = _extract_pallas(x, cm.slab_w, cm.blk, tile, F,
+                                         interpret)
+    else:
+        ids, lbov, cnt = _extract_ref(x, cm.slab_w, cm.blk, F)
+
+    r = mxu_bf.ray_features(origin, direction)
+    r = jnp.concatenate([r, jnp.zeros((npad, 6), jnp.float32)], axis=1)
+
+    t1, tri1 = _pair_pass(ids, r, t0, cm, ptile, kreal, on_tpu, interpret)
+    bt = jnp.minimum(t0, t1)
+    btri = jnp.where(t1 <= bt, tri1, -1)
+
+    # proof: every untested block's entry >= lb_over; a ray whose best
+    # t (or analytic bound) is <= lb_over cannot be beaten.
+    unproven = act & (lbov < bt) & (cnt > F)
+
+    # pass 2: deeper window (slots F..F2) on the compacted unproven set
+    m2 = min(REPAIR_LANES, npad)
+    n2 = jnp.sum(unproven.astype(jnp.int32))
+
+    def pass2(args):
+        bt, btri, unproven = args
+        iota = jnp.arange(npad, dtype=jnp.int32)
+        _, pos = jax.lax.sort(
+            ((~unproven).astype(jnp.int32), iota), num_keys=1
+        )
+        pos = pos[:m2]
+        live = jnp.arange(m2, dtype=jnp.int32) < n2
+        livef = live.astype(jnp.float32)
+        x2 = x[pos]
+        # extraction keeps the ORIGINAL t0 mask so the first F ids
+        # reproduce pass 1's exactly (deterministic ties) and slots
+        # F..F2 are precisely the untested continuation.
+        x2 = x2.at[:, 7].set(x2[:, 7] * livef)
+        x2 = x2.at[:, 3:6].mul(livef[:, None])
+        if on_tpu:
+            ids2, lbov2, cnt2 = _extract_pallas(x2, cm.slab_w, cm.blk,
+                                                min(tile, m2), F2, interpret)
+        else:
+            ids2, lbov2, cnt2 = _extract_ref(x2, cm.slab_w, cm.blk, F2)
+        ids2 = ids2[:, F:]
+        r2 = r[pos] * livef[:, None]
+        bt2g = jnp.where(live, bt[pos], 0.0)
+        t2, tri2 = _pair_pass(ids2, r2, bt2g, cm, ptile, kreal, on_tpu,
+                              interpret)
+        upd = live & (t2 < bt2g)
+        bt = bt.at[pos].set(jnp.where(upd, t2, bt[pos]))
+        btri = btri.at[pos].set(jnp.where(upd, tri2, btri[pos]))
+        still = live & (lbov2[:m2] < jnp.where(upd, t2, bt2g)) & (cnt2 > F2)
+        unproven = jnp.zeros((npad,), bool).at[pos].set(still)
+        return bt, btri, unproven
+
+    bt, btri, unproven = jax.lax.cond(
+        n2 > 0, pass2, lambda a: a, (bt, btri, unproven)
+    )
+
+    # pass 3 (residual tail, ~never): exhaustive walk over a small
+    # buffer, LOOPED until every unproven ray has been walked — the
+    # walk covers a ray's full feasible list, so each iteration proves
+    # its whole buffer and the loop strictly shrinks.
+    m3 = min(WALK_LANES, npad)
+    tile3 = min(tile, m3)
+
+    def p3_cond(state):
+        _, _, unproven = state
+        return jnp.any(unproven)
+
+    def p3_body(state):
+        bt, btri, unproven = state
+        n3 = jnp.sum(unproven.astype(jnp.int32))
+        iota = jnp.arange(npad, dtype=jnp.int32)
+        _, pos = jax.lax.sort(
+            ((~unproven).astype(jnp.int32), iota), num_keys=1
+        )
+        pos = pos[:m3]
+        live = jnp.arange(m3, dtype=jnp.int32) < jnp.minimum(n3, m3)
+        livef = live.astype(jnp.float32)
+        x3 = x[pos]
+        x3 = x3.at[:, 6].set(jnp.where(live, bt[pos], 0.0))
+        x3 = x3.at[:, 7].set(x3[:, 7] * livef)
+        x3 = x3.at[:, 3:6].mul(livef[:, None])
+        if on_tpu:
+            te = wk._slab_cull_pallas(x3, cm.slab_w, cm.blk, tile3, interpret)
+        else:
+            te = wk._slab_cull_ref(x3, cm.slab_w, cm.blk, tile3)
+        sel, lb, nsel = wk._full_select(te)
+        r3 = r[pos] * livef[:, None]
+        t03 = x3[:, 6]
+        a3 = x3[:, 7]
+        if on_tpu:
+            t3, tri3 = wk._walk_pallas(sel, lb, nsel, r3, t03, a3, cm.w,
+                                       tile3, cm.block, interpret)
+        else:
+            t3, tri3 = wk._walk_ref(sel, lb, r3, t03, a3, cm.w, tile3,
+                                    cm.block)
+        upd = live & (tri3 >= 0)
+        bt = bt.at[pos].set(jnp.where(upd, t3, bt[pos]))
+        btri = btri.at[pos].set(jnp.where(upd, tri3, btri[pos]))
+        unproven = unproven.at[pos].set(jnp.where(live, False, unproven[pos]))
+        return bt, btri, unproven
+
+    bt, btri, _ = jax.lax.while_loop(p3_cond, p3_body, (bt, btri, unproven))
+
+    bt, btri = bt[:n], btri[:n]
+    bt = jnp.where(btri >= 0, bt, BIG)
+    zero = jnp.zeros((n,), jnp.float32)
+    return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=zero, v=zero))

@@ -45,7 +45,11 @@ def intersect_scene(origin, direction, geoms, materials, mesh, kd,
     hit = isect.intersect_geoms(origin, direction, geoms)
     if mesh is not None:
         if config.cluster and cmesh is not None:
-            if getattr(config, "cluster_walk", False):
+            if getattr(config, "cluster_pairs", False):
+                from kdtreepathtraceroptimization_tpu.ops.pairs import (
+                    intersect_mesh_pairs as _isect_cluster,
+                )
+            elif getattr(config, "cluster_walk", False):
                 from kdtreepathtraceroptimization_tpu.ops.walk import (
                     intersect_mesh_walk as _isect_cluster,
                 )

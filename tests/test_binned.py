@@ -179,7 +179,7 @@ def test_binned_render_matches_kd():
     img_cl = np.asarray(render(
         scene,
         RenderConfig(trace_depth=4, cluster=True, cluster_binned=True,
-                     cluster_tile=256, binned_rounds=6, cluster_walk=False),
+                     cluster_tile=256, binned_rounds=6, cluster_walk=False, cluster_pairs=False),
         spp=spp, seed=0,
     ))
     diff = np.abs(img_kd - img_cl)

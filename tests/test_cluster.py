@@ -165,7 +165,7 @@ def test_cluster_render_matches_kd():
     img_cl = np.asarray(render(
         scene,
         RenderConfig(trace_depth=4, cluster=True, cluster_tile=256,
-                     cluster_rounds=6, cluster_walk=False),
+                     cluster_rounds=6, cluster_walk=False, cluster_pairs=False),
         spp=spp, seed=0,
     ))
     diff = np.abs(img_kd - img_cl)

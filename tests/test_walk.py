@@ -143,7 +143,7 @@ def test_walk_render_matches_kd():
     img_w = np.asarray(render(
         scene,
         RenderConfig(trace_depth=4, cluster=True, cluster_walk=True,
-                     cluster_tile=256),
+                     cluster_pairs=False, cluster_tile=256),
         spp=spp, seed=0,
     ))
     diff = np.abs(img_kd - img_w)
