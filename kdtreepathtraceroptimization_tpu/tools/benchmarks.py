@@ -36,10 +36,11 @@ MODES = {
     "bbox": dict(enable_kd=False, use_bbox=True, mxu_brute=False),
     "kd": dict(enable_kd=True, short_stack=False),
     "short": dict(enable_kd=True, short_stack=True),
-    # The TPU-native intersector (ops/cluster.py) — no reference
-    # counterpart; included so the sweep shows where it crosses the
-    # KD walks.
-    "cluster": dict(cluster=True),
+    # The TPU-native intersectors — no reference counterpart; included
+    # so the sweep shows where each crosses the KD walks.
+    "cluster": dict(cluster=True, cluster_walk=False, cluster_pairs=False),
+    "walk": dict(cluster=True, cluster_walk=True, cluster_pairs=False),
+    "pairs": dict(cluster=True, cluster_pairs=True),
 }
 
 

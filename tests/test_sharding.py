@@ -90,3 +90,17 @@ def test_entry_compiles():
     compiled = lowered.compile()
     out = compiled(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_render_distributed_single_process(cornell_scene, eight_devices):
+    """The multihost entry degrades gracefully to one process: the
+    sharded render over 8 virtual devices matches the plain render."""
+    from kdtreepathtraceroptimization_tpu.parallel import multihost
+    from kdtreepathtraceroptimization_tpu.render.integrator import render
+
+    scene = with_resolution(cornell_scene, 32, 32)
+    config = RenderConfig(trace_depth=2)
+    assert multihost.initialize() is False  # no coordinator configured
+    img = np.asarray(multihost.render_distributed(scene, config, spp=2))
+    ref = np.asarray(render(scene, config, spp=2, seed=0))
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-6)
