@@ -285,10 +285,13 @@ def _pair_pass(ids, r, t0, cm, ptile, kreal, on_tpu, interpret):
 
 def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
                          t_init=None, active=None,
-                         interpret: bool = False) -> TriHit:
+                         interpret: bool = False,
+                         max_passes: int = 3) -> TriHit:
     """Nearest-hit over the cluster mesh; exact (brute-equal) results.
 
     See module docstring for the three-pass proof structure.
+    ``max_passes`` < 3 truncates the proof chain — measurement use only
+    (results are then exact only for proven rays).
     """
     n = origin.shape[0]
     tile = config.cluster_tile
@@ -370,9 +373,10 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         unproven = jnp.zeros((npad,), bool).at[pos].set(still)
         return bt, btri, unproven
 
-    bt, btri, unproven = jax.lax.cond(
-        n2 > 0, pass2, lambda a: a, (bt, btri, unproven)
-    )
+    if max_passes >= 2:
+        bt, btri, unproven = jax.lax.cond(
+            n2 > 0, pass2, lambda a: a, (bt, btri, unproven)
+        )
 
     # pass 3 (residual tail, ~never): exhaustive walk over a small
     # buffer, LOOPED until every unproven ray has been walked — the
@@ -419,7 +423,9 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         unproven = unproven.at[pos].set(jnp.where(live, False, unproven[pos]))
         return bt, btri, unproven
 
-    bt, btri, _ = jax.lax.while_loop(p3_cond, p3_body, (bt, btri, unproven))
+    if max_passes >= 3:
+        bt, btri, _ = jax.lax.while_loop(p3_cond, p3_body,
+                                         (bt, btri, unproven))
 
     bt, btri = bt[:n], btri[:n]
     bt = jnp.where(btri >= 0, bt, BIG)
