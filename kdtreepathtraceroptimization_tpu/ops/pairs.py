@@ -138,7 +138,23 @@ def _extract_ref(x, slab_w, blk, F):
 # ---------------------------------------------------------------------------
 
 
-def _pair_kernel(blkid_ref, f_ref, t0_ref, w_ref, t_ref, loc_ref,
+def _feat16(od):
+    """[p, 8] (o, d, t0, validf) -> [p, 16] MT features [o d oxd 1]*valid.
+
+    Computed from the 8-float slot record instead of gathering the full
+    16-float feature row per slot (halves the align gather traffic)."""
+    o3, d3 = od[:, 0:3], od[:, 3:6]
+    m = jnp.stack([
+        o3[:, 1] * d3[:, 2] - o3[:, 2] * d3[:, 1],
+        o3[:, 2] * d3[:, 0] - o3[:, 0] * d3[:, 2],
+        o3[:, 0] * d3[:, 1] - o3[:, 1] * d3[:, 0],
+    ], axis=1)
+    one = od[:, 7:8]
+    z = jnp.zeros((od.shape[0], 6), od.dtype)
+    return jnp.concatenate([o3, d3, m, one, z], axis=1) * one
+
+
+def _pair_kernel(blkid_ref, od_ref, w_ref, t_ref, loc_ref,
                  *, block, ptile):
     """One MXU round per mono-block pair tile."""
     import jax.experimental.pallas as pl
@@ -147,12 +163,13 @@ def _pair_kernel(blkid_ref, f_ref, t0_ref, w_ref, t_ref, loc_ref,
 
     @pl.when(real)
     def _():
+        od = od_ref[:, :]
         prod = jax.lax.dot_general(
-            f_ref[:, :], w_ref[0, :, :],
+            _feat16(od), w_ref[0, :, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        t = mxu_bf._epilogue(prod, block, t0_ref[:, :])
+        t = mxu_bf._epilogue(prod, block, od[:, 6:7])
         t_ref[:, :] = jnp.min(t, axis=1, keepdims=True)
         loc_ref[:, :] = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
 
@@ -163,20 +180,19 @@ def _pair_kernel(blkid_ref, f_ref, t0_ref, w_ref, t_ref, loc_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("block", "ptile", "interpret"))
-def _pair_test_pallas(blkid, feat, t0, w, block: int, ptile: int,
+def _pair_test_pallas(blkid, od, w, block: int, ptile: int,
                       interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    s = feat.shape[0]
+    s = od.shape[0]
     g = s // ptile
     kernel = functools.partial(_pair_kernel, block=block, ptile=ptile)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # blkid [g]
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((ptile, 16), lambda i, blkid: (i, 0)),
-            pl.BlockSpec((ptile, 1), lambda i, blkid: (i, 0)),
+            pl.BlockSpec((ptile, 8), lambda i, blkid: (i, 0)),
             pl.BlockSpec((1, 16, 4 * block),
                          lambda i, blkid: (jnp.maximum(blkid[i], 0), 0, 0)),
         ],
@@ -193,17 +209,18 @@ def _pair_test_pallas(blkid, feat, t0, w, block: int, ptile: int,
             jax.ShapeDtypeStruct((s, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(blkid, feat, t0.reshape(s, 1), w)
+    )(blkid, od, w)
     return t.reshape(s), loc.reshape(s)
 
 
-def _pair_test_ref(blkid, feat, t0, w, block: int, ptile: int):
+def _pair_test_ref(blkid, od, w, block: int, ptile: int):
     """jnp mirror of the pair-tile kernel."""
-    s = feat.shape[0]
+    s = od.shape[0]
     g = s // ptile
     wsel = w[jnp.maximum(blkid, 0)]                       # [g, 16, 4B]
+    feat = _feat16(od)
     prod = jnp.einsum("gtf,gfc->gtc", feat.reshape(g, ptile, 16), wsel)
-    t = mxu_bf._epilogue(prod.reshape(s, 4 * block), block, t0)
+    t = mxu_bf._epilogue(prod.reshape(s, 4 * block), block, od[:, 6])
     t = t.reshape(g, ptile, block)
     tmin = jnp.min(t, axis=2).reshape(s)
     loc = jnp.argmin(t, axis=2).reshape(s).astype(jnp.int32)
@@ -211,12 +228,12 @@ def _pair_test_ref(blkid, feat, t0, w, block: int, ptile: int):
     return jnp.where(real, tmin, BIG), jnp.where(real, loc, 0)
 
 
-def _pair_pass(ids, r, t0, cm, ptile, kreal, on_tpu, interpret):
+def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret):
     """Test every (ray, block) pair in ``ids`` [n, F]; return per-ray
     (t_best [n], tri_best [n]) over those pairs (BIG/-1 where none).
 
-    ids == kp marks empty slots. r [n,16] MT features; t0 [n] per-ray
-    upper bound for the epilogue."""
+    ids == kp marks empty slots. od8 [n, 8] per-ray slot record
+    (o, d, t0, activef) — t0 bounds the epilogue."""
     n, F = ids.shape
     kp = cm.n_blocks
     P = n * F
@@ -238,18 +255,36 @@ def _pair_pass(ids, r, t0, cm, ptile, kreal, on_tpu, interpret):
                             jnp.cumsum(acnt, dtype=jnp.int32)])
     s_max = P + nb * ptile                            # static worst case
 
+    # slot -> (owning block, source pair) via scatter + cummax: each
+    # block's segment start (aoff[b]) is stamped with its per-block
+    # values and a cumulative max fills the segment — two vector passes
+    # over [s_max] instead of a binary search + three table gathers.
+    # All three stamped channels (block id, aoff, bounds) are monotone
+    # nondecreasing in b, so cummax is exact; duplicate aoff stamps
+    # (empty blocks) resolve to the LAST block, matching
+    # searchsorted-right.
     slot = jnp.arange(s_max, dtype=jnp.int32)
-    blk_of = jnp.searchsorted(aoff, slot, side="right").astype(jnp.int32) - 1
-    blk_of = jnp.clip(blk_of, 0, nb - 1)
-    within = slot - aoff[blk_of]
-    src = bounds[blk_of] + within
-    valid = (within < cnt[blk_of]) & (slot < aoff[nb])
+    stamp_idx = aoff[:nb]
+    neg = jnp.full((s_max,), -1, jnp.int32)
+    bid = jnp.arange(nb, dtype=jnp.int32)
+    blk_of = jax.lax.associative_scan(
+        jnp.maximum, neg.at[stamp_idx].max(bid))
+    aoff_of = jax.lax.associative_scan(
+        jnp.maximum, neg.at[stamp_idx].max(aoff[:nb]))
+    bounds_of = jax.lax.associative_scan(
+        jnp.maximum, neg.at[stamp_idx].max(bounds))
+    hi_of = jax.lax.associative_scan(
+        jnp.maximum,
+        neg.at[stamp_idx].max(jnp.concatenate(
+            [bounds[1:], jnp.asarray([P], jnp.int32)])))
+    within = slot - aoff_of
+    src = bounds_of + within
+    valid = (src < hi_of) & (slot < aoff[nb]) & (blk_of >= 0)
     src = jnp.where(valid, src, 0)
     slot_p = jnp.where(valid, pidx_s[src], -1)
 
     ray = jnp.maximum(slot_p, 0) // F
-    feat = r[ray] * valid[:, None].astype(jnp.float32)
-    st0 = jnp.where(valid, t0[ray], 0.0)
+    od = od8[ray] * valid[:, None].astype(jnp.float32)
 
     # per-tile block id (mono-block by construction); -1 = padding or
     # sentinel tiles, skipped by the kernel
@@ -258,10 +293,10 @@ def _pair_pass(ids, r, t0, cm, ptile, kreal, on_tpu, interpret):
     tile_blk = jnp.where(tile_live & (tile_blk < kreal), tile_blk, -1)
 
     if on_tpu:
-        t_s, loc_s = _pair_test_pallas(tile_blk, feat, st0, cm.w, block,
+        t_s, loc_s = _pair_test_pallas(tile_blk, od, cm.w, block,
                                        ptile, interpret)
     else:
-        t_s, loc_s = _pair_test_ref(tile_blk, feat, st0, cm.w, block, ptile)
+        t_s, loc_s = _pair_test_ref(tile_blk, od, cm.w, block, ptile)
     t_s = jnp.where(valid, t_s, BIG)
 
     # back to [n, F] slot order: one keyed sort (invalid slots sink)
@@ -326,10 +361,9 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     else:
         ids, lbov, cnt = _extract_ref(x, cm.slab_w, cm.blk, F)
 
-    r = mxu_bf.ray_features(origin, direction)
-    r = jnp.concatenate([r, jnp.zeros((npad, 6), jnp.float32)], axis=1)
+    od8 = x[:, :8]  # (o, d, t0, actf) slot record
 
-    t1, tri1 = _pair_pass(ids, r, t0, cm, ptile, kreal, on_tpu, interpret)
+    t1, tri1 = _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret)
     bt = jnp.minimum(t0, t1)
     btri = jnp.where(t1 <= bt, tri1, -1)
 
@@ -362,9 +396,9 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         else:
             ids2, lbov2, cnt2 = _extract_ref(x2, cm.slab_w, cm.blk, F2)
         ids2 = ids2[:, F:]
-        r2 = r[pos] * livef[:, None]
         bt2g = jnp.where(live, bt[pos], 0.0)
-        t2, tri2 = _pair_pass(ids2, r2, bt2g, cm, ptile, kreal, on_tpu,
+        od2 = x2[:, :8].at[:, 6].set(bt2g)  # epilogue bound = current best
+        t2, tri2 = _pair_pass(ids2, od2, cm, ptile, kreal, on_tpu,
                               interpret)
         upd = live & (t2 < bt2g)
         bt = bt.at[pos].set(jnp.where(upd, t2, bt[pos]))
@@ -408,7 +442,8 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         else:
             te = wk._slab_cull_ref(x3, cm.slab_w, cm.blk, tile3)
         sel, lb, nsel = wk._full_select(te)
-        r3 = r[pos] * livef[:, None]
+        r3 = mxu_bf.ray_features(x3[:, 0:3], x3[:, 3:6]) * livef[:, None]
+        r3 = jnp.concatenate([r3, jnp.zeros((m3, 6), jnp.float32)], axis=1)
         t03 = x3[:, 6]
         a3 = x3[:, 7]
         if on_tpu:
