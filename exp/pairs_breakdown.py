@@ -75,51 +75,6 @@ def sortstage(c):
 
 timeit("sort2.56M", sortstage, keys0)
 
-keys_s0, pidx_s0 = jax.lax.sort((keys0, pidx_a), num_keys=1)
-nb = kp + 1
-s_max = P + nb * ptile
-
-
-def align(c):
-    keys_s, pidx_s = c
-    bounds = jnp.searchsorted(keys_s, jnp.arange(nb, dtype=jnp.int32))
-    cnt = jnp.diff(jnp.concatenate([bounds, jnp.asarray([P], jnp.int32)]))
-    acnt = (cnt + ptile - 1) // ptile * ptile
-    aoff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(acnt, dtype=jnp.int32)])
-    slot = jnp.arange(s_max, dtype=jnp.int32)
-    blk_of = jnp.searchsorted(aoff, slot, side="right").astype(jnp.int32) - 1
-    blk_of = jnp.clip(blk_of, 0, nb - 1)
-    within = slot - aoff[blk_of]
-    src = bounds[blk_of] + within
-    valid = (within < cnt[blk_of]) & (slot < aoff[nb])
-    src = jnp.where(valid, src, 0)
-    slot_p = jnp.where(valid, pidx_s[src], -1)
-    return (keys_s, pidx_s ^ (slot_p & 0))
-
-
-timeit("alignmath", align, (keys_s0, pidx_s0))
-
-
-def featgather(c):
-    slot_ray = jnp.abs(c) % n
-    feat = r[slot_ray]
-    return c + (feat[:, 0] * 0.0).astype(jnp.int32)
-
-
-slot0 = jnp.arange(s_max, dtype=jnp.int32)
-timeit("featgather", featgather, slot0)
-
-
-def backsort(c):
-    kb, t_s, loc_s = c
-    _, t_p, loc_p = jax.lax.sort((kb, t_s, loc_s), num_keys=1)
-    return (kb, t_p, loc_p)
-
-
-timeit("backsort", backsort,
-       (slot0 % P, jnp.zeros((s_max,), jnp.float32),
-        jnp.zeros((s_max,), jnp.int32)))
 
 
 def pass1(c):

@@ -60,21 +60,45 @@ WALK_LANES = 8192
 # ---------------------------------------------------------------------------
 
 
+_IDX_BITS = 10  # block id bits packed into the key's low mantissa
+
+
 def _extract_math(x, prod, blk, kp, F):
     """[sub, 16] features + [sub, 6K] slab products -> per-ray top-F
     entry-ordered feasible block ids [sub, F] (kp where exhausted),
-    lb_over [sub, 1] (the (F+1)-th smallest entry; BIG when none) and
-    feasible count [sub, 1]."""
+    lb_over [sub, 1] (a conservative (F+1)-th smallest entry; BIG when
+    none) and feasible count [sub, 1].
+
+    Selection packs (entry, block id) into ONE u32 key — entries are
+    non-negative floats, whose bit patterns order numerically, with the
+    block id in the low mantissa bits — so each slot costs one
+    min-reduce plus one equality mask instead of an argmin + iota
+    compare (the per-iteration argmin dominated the kernel: 22 ms/call
+    at dragon scale before this). Keys are unique (id in the low bits),
+    ties break toward the smaller block id exactly like argmin, and
+    lb_over's mantissa truncation only LOWERS the proof bound —
+    conservative."""
+    assert kp <= (1 << _IDX_BITS)
     entry = wk._slab_entry_math(x, prod, blk, kp)  # [sub, K]
     count = jnp.sum((entry < BIG).astype(jnp.int32), axis=1, keepdims=True)
-    cols = jax.lax.broadcasted_iota(jnp.int32, entry.shape, 1)
+    cols = jax.lax.broadcasted_iota(jnp.uint32, entry.shape, 1)
+    mask = jnp.uint32(~((1 << _IDX_BITS) - 1) & 0xFFFFFFFF)
+    key = (jax.lax.bitcast_convert_type(entry, jnp.uint32) & mask) | cols
+    big_key = jax.lax.bitcast_convert_type(jnp.float32(BIG), jnp.uint32) & mask
+    dead = jnp.uint32(0xFFFFFFFF)
     ids = []
     for _ in range(F):
-        best = jnp.min(entry, axis=1, keepdims=True)
-        am = jnp.argmin(entry, axis=1).astype(jnp.int32)[:, None]
-        ids.append(jnp.where(best < BIG, am, jnp.int32(kp)))
-        entry = jnp.where(cols == am, BIG, entry)
-    lb_over = jnp.min(entry, axis=1, keepdims=True)
+        m = jnp.min(key, axis=1, keepdims=True)
+        ids.append(jnp.where(
+            m < big_key, (m & ~mask).astype(jnp.int32), jnp.int32(kp)
+        ))
+        key = jnp.where(key == m, dead, key)
+    m = jnp.min(key, axis=1, keepdims=True)
+    lb_over = jnp.where(
+        m < big_key,
+        jax.lax.bitcast_convert_type(m & mask, jnp.float32),
+        jnp.float32(BIG),
+    )
     return jnp.concatenate(ids, axis=1), lb_over, count
 
 

@@ -46,7 +46,11 @@ def test_extraction_matches_dense_entries():
         want_e = [entry[i, j] if j < kp else np.inf for j in want]
         np.testing.assert_allclose(got_e, want_e, rtol=1e-6)
         if c > F:
-            assert np.isclose(lbov[i], entry[i, srt[i, F]], rtol=1e-6)
+            # lb_over is mantissa-truncated (packed-key selection):
+            # conservative (never above the exact bound), within 2^-13
+            exact = entry[i, srt[i, F]]
+            assert lbov[i] <= exact * (1 + 1e-6)
+            assert lbov[i] >= exact * (1 - 3e-4) - 1e-6
         else:
             assert lbov[i] >= 1e30
 
