@@ -291,14 +291,10 @@ def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret):
     stamp_idx = aoff[:nb]
     neg = jnp.full((s_max,), -1, jnp.int32)
     bid = jnp.arange(nb, dtype=jnp.int32)
-    blk_of = jax.lax.associative_scan(
-        jnp.maximum, neg.at[stamp_idx].max(bid))
-    aoff_of = jax.lax.associative_scan(
-        jnp.maximum, neg.at[stamp_idx].max(aoff[:nb]))
-    bounds_of = jax.lax.associative_scan(
-        jnp.maximum, neg.at[stamp_idx].max(bounds))
-    hi_of = jax.lax.associative_scan(
-        jnp.maximum,
+    blk_of = jax.lax.cummax(neg.at[stamp_idx].max(bid))
+    aoff_of = jax.lax.cummax(neg.at[stamp_idx].max(aoff[:nb]))
+    bounds_of = jax.lax.cummax(neg.at[stamp_idx].max(bounds))
+    hi_of = jax.lax.cummax(
         neg.at[stamp_idx].max(jnp.concatenate(
             [bounds[1:], jnp.asarray([P], jnp.int32)])))
     within = slot - aoff_of
