@@ -81,22 +81,24 @@ def _extract_math(x, prod, blk, kp, F):
     assert kp <= (1 << _IDX_BITS)
     entry = wk._slab_entry_math(x, prod, blk, kp)  # [sub, K]
     count = jnp.sum((entry < BIG).astype(jnp.int32), axis=1, keepdims=True)
-    cols = jax.lax.broadcasted_iota(jnp.uint32, entry.shape, 1)
-    mask = jnp.uint32(~((1 << _IDX_BITS) - 1) & 0xFFFFFFFF)
-    key = (jax.lax.bitcast_convert_type(entry, jnp.uint32) & mask) | cols
-    big_key = jax.lax.bitcast_convert_type(jnp.float32(BIG), jnp.uint32) & mask
-    dead = jnp.uint32(0xFFFFFFFF)
+    # int32 keys: entries are non-negative floats whose bit patterns
+    # order numerically even as SIGNED ints (sign bit 0), and Mosaic
+    # has no unsigned reductions.
+    cols = jax.lax.broadcasted_iota(jnp.int32, entry.shape, 1)
+    lowmask = jnp.int32((1 << _IDX_BITS) - 1)
+    key = (jax.lax.bitcast_convert_type(entry, jnp.int32) & ~lowmask) | cols
+    big_key = jax.lax.bitcast_convert_type(
+        jnp.float32(BIG), jnp.int32) & ~lowmask
+    dead = jnp.int32(0x7FFFFFFF)
     ids = []
     for _ in range(F):
         m = jnp.min(key, axis=1, keepdims=True)
-        ids.append(jnp.where(
-            m < big_key, (m & ~mask).astype(jnp.int32), jnp.int32(kp)
-        ))
+        ids.append(jnp.where(m < big_key, m & lowmask, jnp.int32(kp)))
         key = jnp.where(key == m, dead, key)
     m = jnp.min(key, axis=1, keepdims=True)
     lb_over = jnp.where(
         m < big_key,
-        jax.lax.bitcast_convert_type(m & mask, jnp.float32),
+        jax.lax.bitcast_convert_type(m & ~lowmask, jnp.float32),
         jnp.float32(BIG),
     )
     return jnp.concatenate(ids, axis=1), lb_over, count
