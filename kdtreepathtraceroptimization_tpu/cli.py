@@ -59,9 +59,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--material-sort", action="store_true")
     p.add_argument("--ray-cache", action="store_true")
     p.add_argument("--cluster", action="store_true",
-                   help="use the cluster-MXU intersector instead of the KD "
-                        "walk (ops/cluster.py; exact, fastest at high poly "
-                        "counts on TPU)")
+                   help="use the cluster-family intersectors instead of the "
+                        "KD walk (exact, fastest at high poly counts on TPU); "
+                        "variant picked by --cluster-mode")
+    p.add_argument("--cluster-mode", default="pairs",
+                   choices=["pairs", "walk", "binned", "rounds"],
+                   help="cluster intersector variant: 'pairs' (ops/pairs.py, "
+                        "per-ray-optimal pair scheduling, default), 'walk' "
+                        "(ops/walk.py exact entry-ordered walk), 'binned' / "
+                        "'rounds' (ops/binned.py, ops/cluster.py round-budget "
+                        "forms)")
     p.add_argument("--unroll-bounces", action="store_true",
                    help="Python-unroll the bounce loop instead of lax.scan "
                         "(identical images; scan compiles ~8x faster on big "
@@ -145,6 +152,9 @@ def main(argv=None) -> int:
         material_sort=args.material_sort,
         ray_cache=args.ray_cache,
         cluster=args.cluster,
+        cluster_pairs=args.cluster_mode == "pairs",
+        cluster_walk=args.cluster_mode == "walk",
+        cluster_binned=args.cluster_mode == "binned",
         # Forward-only rendering: compile the bounce body once
         # (bit-identical to the unroll; see trace_rays).
         scan_bounces=not args.unroll_bounces,
