@@ -87,8 +87,11 @@ def _extract_math(x, prod, blk, kp, F):
     cols = jax.lax.broadcasted_iota(jnp.int32, entry.shape, 1)
     lowmask = jnp.int32((1 << _IDX_BITS) - 1)
     key = (jax.lax.bitcast_convert_type(entry, jnp.int32) & ~lowmask) | cols
-    big_key = jax.lax.bitcast_convert_type(
-        jnp.float32(BIG), jnp.int32) & ~lowmask
+    # host-side constant (Mosaic rejects scalar bitcasts in-kernel)
+    import numpy as _np
+    big_key = jnp.int32(
+        int(_np.float32(BIG).view(_np.int32)) & ~((1 << _IDX_BITS) - 1)
+    )
     dead = jnp.int32(0x7FFFFFFF)
     ids = []
     for _ in range(F):
