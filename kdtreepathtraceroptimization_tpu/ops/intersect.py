@@ -101,7 +101,10 @@ def _box_test(q_origin, q_dir, transform):
 
     hit = (tmax >= tmin) & (tmax > 0)
     inside = tmin <= 0
-    t_obj = jnp.where(inside, tmax, tmin)
+    # Miss lanes carry ±BIG slab parameters; zero them so the hit point
+    # stays bounded (the masked-sum reduction in intersect_geoms
+    # multiplies miss lanes by 0, and 0 * inf would be NaN).
+    t_obj = jnp.where(hit, jnp.where(inside, tmax, tmin), 0.0)
     axis = jnp.where(inside, axis_max, axis_min)
     outside = hit & ~inside
 
@@ -109,9 +112,19 @@ def _box_test(q_origin, q_dir, transform):
     # for both entry and exit faces (intersections.h:124-135), which makes
     # the exit-face normal point back inward — i.e. normals flip toward
     # the ray when it starts inside. Faithful and physically sensible.
-    eye3 = jnp.eye(3, dtype=q_origin.dtype)
-    sign = jnp.take_along_axis(n_sign, axis[..., None], axis=-1)
-    n_obj = eye3[axis] * sign
+    #
+    # Selection is arithmetic (one-hot compare), NOT eye3[axis] /
+    # take_along_axis: a data-dependent gather over a length-3 axis
+    # lowers to a serialization pathology on TPU (profiled at 1.7 s for
+    # [640k, 6] lanes — 55% of a full no-mesh iteration; exp/
+    # prof_nomesh.py). The compare+multiply form fuses into the
+    # surrounding elementwise work for free.
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, axis.shape + (3,), axis.ndim)
+        == axis[..., None]
+    ).astype(q_origin.dtype)
+    sign = jnp.sum(n_sign * onehot, axis=-1, keepdims=True)
+    n_obj = onehot * sign
 
     p_obj = q_origin + t_obj[..., None] * q_dir
     p_world = vm.transform_point(transform[None, :, :, :], p_obj)
@@ -137,9 +150,12 @@ def _sphere_test(q_origin, q_dir, transform, inv_transpose):
     t2 = -v_dot_d - sq
     both_neg = (t1 < 0) & (t2 < 0)
     both_pos = (t1 > 0) & (t2 > 0)
-    t_obj = jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2))
     outside = both_pos
     hit = has_root & ~both_neg
+    # Zero t on miss lanes (see _box_test: keeps the masked-sum bounded).
+    t_obj = jnp.where(
+        hit, jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2)), 0.0
+    )
 
     p_obj = q_origin + t_obj[..., None] * q_dir
     p_world = vm.transform_point(transform[None, :, :, :], p_obj)
@@ -187,16 +203,28 @@ def intersect_geoms(origin, direction, geoms) -> Hit:
     # the un-hit branches carry huge/garbage positions (t_obj ~ ±BIG
     # through the transform) that would otherwise overflow downstream
     # math and poison reverse-mode AD.
-    best = jnp.argmin(t, axis=1)
-    rows = jnp.arange(n)
-    t_best = t[rows, best]
+    #
+    # The winner is selected by a first-true mask + masked sum, NOT by
+    # argmin + [rows, best] gathers: each of those per-lane gathers over
+    # the tiny geom axis cost ~140 ms at 640k lanes on TPU (profiled,
+    # exp/prof_nomesh.py) where the dense mask-reduce fuses into the
+    # tests themselves. Ties resolve to the lowest geom index, exactly
+    # like argmin (and the reference's sequential `t < t_min` loop,
+    # pathtrace.cu:462-483, which keeps the FIRST of equal hits).
+    t_best = jnp.min(t, axis=1)
+    is_min = t == t_best[:, None]
+    first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
+    firstf = first.astype(t.dtype)
     is_hit = t_best < BIG
+    hitf = is_hit.astype(t.dtype)[:, None]
     return Hit(
         t=t_best,
-        point=jnp.where(is_hit[:, None], point[rows, best], 0.0),
-        normal=jnp.where(is_hit[:, None], normal[rows, best], 0.0),
-        material_id=jnp.where(is_hit, mat_id[best], -1),
-        outside=outside[rows, best],
+        point=jnp.sum(point * firstf[..., None], axis=1) * hitf,
+        normal=jnp.sum(normal * firstf[..., None], axis=1) * hitf,
+        material_id=jnp.where(
+            is_hit, jnp.sum(mat_id[None, :] * first, axis=1), -1
+        ),
+        outside=jnp.any(outside & first, axis=1),
     )
 
 

@@ -330,10 +330,14 @@ def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret):
     t_p = t_p[:P].reshape(n, F)
     loc_p = loc_p[:P].reshape(n, F)
 
-    jbest = jnp.argmin(t_p, axis=1)
+    # Winner select by first-true mask, not argmin + take_along_axis:
+    # per-lane gathers over a tiny axis serialize on TPU (the same
+    # pathology profiled in intersect_geoms, exp/prof_nomesh.py).
     t_best = jnp.min(t_p, axis=1)
-    blk_best = jnp.take_along_axis(ids, jbest[:, None], axis=1).reshape(n)
-    loc_best = jnp.take_along_axis(loc_p, jbest[:, None], axis=1).reshape(n)
+    is_min = t_p == t_best[:, None]
+    first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
+    blk_best = jnp.sum(jnp.where(first, ids, 0), axis=1)
+    loc_best = jnp.sum(jnp.where(first, loc_p, 0), axis=1)
     tri = jnp.where(t_best < BIG, blk_best * block + loc_best, -1)
     return t_best, tri
 
