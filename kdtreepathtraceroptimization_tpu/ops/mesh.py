@@ -119,6 +119,11 @@ def refine_tri_hit(origin, direction, tri_idx, mesh):
     v0 = jnp.asarray(mesh.v0)[tri]
     v1 = jnp.asarray(mesh.v1)[tri]
     v2 = jnp.asarray(mesh.v2)[tri]
+    return _refine_tri_hit_verts(origin, direction, v0, v1, v2)
+
+
+def _refine_tri_hit_verts(origin, direction, v0, v1, v2):
+    """refine_tri_hit on pre-gathered per-lane vertices."""
     e1 = v1 - v0
     e2 = v2 - v0
     p = jnp.cross(direction, e2)
@@ -143,19 +148,36 @@ def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
     """Expand a TriHit into a full Hit record (normal interpolation +
     offset point, reference: pathtrace.cu:981-1007). t/u/v are
     differentiably recomputed from the winning triangle (refine_tri_hit),
-    so the loop-computed values only pick the winner."""
+    so the loop-computed values only pick the winner.
+
+    All per-triangle fields are pulled through ONE [T, 19]-row gather:
+    a TPU gather costs ~7 ns per ROW regardless of width (measured,
+    exp/gather_micro.py), so seven separate field gathers at 640k lanes
+    were ~30 ms/bounce where the packed row is ~5 ms. The packed table
+    is built from the SoA fields inside the jit — a [T, 19] concat is
+    ~0.1 ms at 100k tris and XLA CSEs it across bounces.
+    """
     n = origin.shape[0]
     is_hit = tri_hit.tri >= 0
     tri = jnp.maximum(tri_hit.tri, 0)
-    t, u, v = refine_tri_hit(origin, direction, tri_hit.tri, mesh)
+
+    packed = jnp.concatenate(
+        [
+            jnp.asarray(mesh.v0), jnp.asarray(mesh.v1), jnp.asarray(mesh.v2),
+            jnp.asarray(mesh.n0), jnp.asarray(mesh.n1), jnp.asarray(mesh.n2),
+            jnp.asarray(mesh.material_id).astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # [T, 19]
+    rowst = packed[jax.lax.stop_gradient(tri)]
+    v0, v1, v2 = rowst[:, 0:3], rowst[:, 3:6], rowst[:, 6:9]
+    n0, n1, n2 = rowst[:, 9:12], rowst[:, 12:15], rowst[:, 15:18]
+    mat_id = rowst[:, 18].astype(jnp.int32)
+
+    t, u, v = _refine_tri_hit_verts(origin, direction, v0, v1, v2)
     # Guard: if the refined eval disagrees wildly (degenerate padding
     # triangle on a miss lane), fall back to the loop values.
     t = jnp.where(is_hit, t, BIG)
-
-    n0 = jnp.asarray(mesh.n0)[tri]
-    n1 = jnp.asarray(mesh.n1)[tri]
-    n2 = jnp.asarray(mesh.n2)[tri]
-    mat_id = jnp.asarray(mesh.material_id)[tri]
 
     point, normal = isect.interpolate_tri_hit(origin, direction, t, u, v, n0, n1, n2)
     return Hit(

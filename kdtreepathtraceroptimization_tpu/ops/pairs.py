@@ -49,9 +49,15 @@ from kdtreepathtraceroptimization_tpu.ops import walk as wk
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
 from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
 
-# second-pass window depth and compaction buffer (see module docstring)
-F2 = 20
-REPAIR_LANES = 65536
+# second-pass window depth and compaction buffer (see module docstring).
+# Tuned on the cornell+dragon diffuse wave (exp/pairs_stats.py):
+# unproven after pass 1 = 5.9% (38k of 640k) with median feasible count
+# 9 and p99 16 — a 12-deep window fully covers 82% of unproven rays and
+# proves most of the rest via lb_over, while costing 2.7x fewer slots
+# than the previous F2=20/65536 configuration; the exhaustive-walk tail
+# picks up the residue either way.
+F2 = 12
+REPAIR_LANES = 49152
 WALK_LANES = 8192
 
 
@@ -392,9 +398,46 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
 
     od8 = x[:, :8]  # (o, d, t0, actf) slot record
 
-    t1, tri1 = _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret)
-    bt = jnp.minimum(t0, t1)
-    btri = jnp.where(t1 <= bt, tri1, -1)
+    # Wavefront narrowing: only rays with a nonempty feasible list
+    # produce pairs — measured ~35% of a diffuse bounce wavefront on
+    # cornell+dragon (exp/bin_stats2.py; dead lanes and analytic-only
+    # rays are the rest). Rather than dragging every ray's F sentinel
+    # slots through the sort/align/gather/kernel chain, mesh-active
+    # rays are compacted into a half-size buffer; a while_loop covers
+    # the rare wavefront with more actives than the buffer (primary
+    # bounces), costing one extra round at half size. Per-ray results
+    # are independent of batch composition, so this is bit-identical
+    # to the unnarrowed pass.
+    m1 = max(64, -(-npad // 2 // 64) * 64)
+    bt = t0
+    btri = jnp.full((npad,), -1, jnp.int32)
+    mesh_act = act & (cnt > 0)
+
+    def n1_cond(state):
+        _, _, todo = state
+        return jnp.any(todo)
+
+    def n1_body(state):
+        bt, btri, todo = state
+        nr = jnp.sum(todo.astype(jnp.int32))
+        iota = jnp.arange(npad, dtype=jnp.int32)
+        _, pos = jax.lax.sort(((~todo).astype(jnp.int32), iota), num_keys=1)
+        pos = pos[:m1]
+        live = jnp.arange(m1, dtype=jnp.int32) < jnp.minimum(nr, m1)
+        ids_c = jnp.where(live[:, None], ids[pos], jnp.int32(kp))
+        od8_c = od8[pos] * live.astype(jnp.float32)[:, None]
+        t1, tri1 = _pair_pass(ids_c, od8_c, cm, ptile, kreal, on_tpu,
+                              interpret)
+        bt_pos = bt[pos]
+        upd = live & (t1 <= bt_pos)
+        bt = bt.at[pos].set(jnp.where(upd, t1, bt_pos))
+        btri = btri.at[pos].set(jnp.where(upd, tri1, btri[pos]))
+        todo = todo.at[pos].set(jnp.where(live, False, todo[pos]))
+        return bt, btri, todo
+
+    bt, btri, _ = jax.lax.while_loop(
+        n1_cond, n1_body, (bt, btri, mesh_act)
+    )
 
     # proof: every untested block's entry >= lb_over; a ray whose best
     # t (or analytic bound) is <= lb_over cannot be beaten.
