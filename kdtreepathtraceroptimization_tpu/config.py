@@ -173,7 +173,11 @@ class RenderConfig:
     # windowed second pass + exhaustive-walk tail. The production
     # default; takes precedence over all other cluster intersectors.
     cluster_pairs: bool = True
-    pair_slots: int = 4    # F: pairs per ray in pass 1
+    # F: pairs per ray in pass 1. Measured fastest at 3 on the
+    # cornell+dragon diffuse wave (exp/pairs_sweep.py: 98 ms vs 108 at
+    # F=4, 128 at F=6) — the looped pass-2 window absorbs the extra
+    # unproven rays more cheaply than every ray paying a 4th slot.
+    pair_slots: int = 3
     pair_tile: int = 256   # pairs per mono-block MXU tile
     # Shard-local binning: the ray axis is viewed as
     # [binned_shards, n/binned_shards] and the binning sort / repair

@@ -57,7 +57,7 @@ from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
 # than the previous F2=20/65536 configuration; the exhaustive-walk tail
 # picks up the residue either way.
 F2 = 12
-REPAIR_LANES = 49152
+REPAIR_LANES = 65536
 WALK_LANES = 8192
 
 
@@ -443,18 +443,27 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     # t (or analytic bound) is <= lb_over cannot be beaten.
     unproven = act & (lbov < bt) & (cnt > F)
 
-    # pass 2: deeper window (slots F..F2) on the compacted unproven set
+    # pass 2: deeper window (slots F..F2) on the compacted unproven
+    # set, LOOPED over a fixed buffer — a single oversized shot either
+    # wasted lanes (unproven is usually far below the buffer) or
+    # spilled rays into the much slower exhaustive walk when a bounce
+    # overflowed it. Rays still unproven after their window accumulate
+    # in ``hard`` for pass 3.
     m2 = min(REPAIR_LANES, npad)
-    n2 = jnp.sum(unproven.astype(jnp.int32))
 
-    def pass2(args):
-        bt, btri, unproven = args
+    def p2_cond(state):
+        _, _, todo2, _ = state
+        return jnp.any(todo2)
+
+    def p2_body(state):
+        bt, btri, todo2, hard = state
+        nr = jnp.sum(todo2.astype(jnp.int32))
         iota = jnp.arange(npad, dtype=jnp.int32)
         _, pos = jax.lax.sort(
-            ((~unproven).astype(jnp.int32), iota), num_keys=1
+            ((~todo2).astype(jnp.int32), iota), num_keys=1
         )
         pos = pos[:m2]
-        live = jnp.arange(m2, dtype=jnp.int32) < n2
+        live = jnp.arange(m2, dtype=jnp.int32) < jnp.minimum(nr, m2)
         livef = live.astype(jnp.float32)
         x2 = x[pos]
         # extraction keeps the ORIGINAL t0 mask so the first F ids
@@ -476,12 +485,14 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         bt = bt.at[pos].set(jnp.where(upd, t2, bt[pos]))
         btri = btri.at[pos].set(jnp.where(upd, tri2, btri[pos]))
         still = live & (lbov2[:m2] < jnp.where(upd, t2, bt2g)) & (cnt2 > F2)
-        unproven = jnp.zeros((npad,), bool).at[pos].set(still)
-        return bt, btri, unproven
+        hard = hard.at[pos].set(still | hard[pos])
+        todo2 = todo2.at[pos].set(jnp.where(live, False, todo2[pos]))
+        return bt, btri, todo2, hard
 
     if max_passes >= 2:
-        bt, btri, unproven = jax.lax.cond(
-            n2 > 0, pass2, lambda a: a, (bt, btri, unproven)
+        bt, btri, _, unproven = jax.lax.while_loop(
+            p2_cond, p2_body,
+            (bt, btri, unproven, jnp.zeros((npad,), bool)),
         )
 
     # pass 3 (residual tail, ~never): exhaustive walk over a small
