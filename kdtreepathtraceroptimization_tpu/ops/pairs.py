@@ -408,7 +408,10 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     # bounces), costing one extra round at half size. Per-ray results
     # are independent of batch composition, so this is bit-identical
     # to the unnarrowed pass.
-    m1 = max(64, -(-npad // 2 // 64) * 64)
+    # m1 is ptile-aligned so m1 * F is always divisible by the pair
+    # tile, which _pair_pass's reshape(-1, ptile) and the Pallas grid
+    # require for every F (F=3 with a merely-64-aligned m1 crashed).
+    m1 = max(ptile, -(-npad // 2 // ptile) * ptile)
     bt = t0
     btri = jnp.full((npad,), -1, jnp.int32)
     mesh_act = act & (cnt > 0)

@@ -20,6 +20,7 @@ one host is a TPU-native addition. Design:
 Environment contract (standard JAX multi-process):
   COORDINATOR_ADDRESS host:port of process 0
   NUM_PROCESSES, PROCESS_ID     (or cloud auto-detection)
+Short aliases JAX_COORDINATOR / NPROC / PROC_ID are also accepted.
 """
 
 from __future__ import annotations
@@ -42,15 +43,17 @@ def initialize(coordinator_address: Optional[str] = None,
     """
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS"
-    )
+    ) or os.environ.get("JAX_COORDINATOR")
     if jax.process_count() > 1:
         return True
     if coordinator_address is None:
         return False
-    num_processes = num_processes or int(os.environ.get("NUM_PROCESSES", "0"))
-    process_id = process_id if process_id is not None else int(
-        os.environ.get("PROCESS_ID", "0")
+    num_processes = num_processes or int(
+        os.environ.get("NUM_PROCESSES") or os.environ.get("NPROC") or "0"
     )
+    if process_id is None:
+        pid_env = os.environ.get("PROCESS_ID") or os.environ.get("PROC_ID")
+        process_id = int(pid_env) if pid_env is not None else 0
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes or None,

@@ -89,6 +89,32 @@ def test_pairs_pallas_interpret_matches_ref():
     np.testing.assert_array_equal(np.asarray(hit_i.tri), np.asarray(hit_r.tri))
 
 
+def test_pairs_default_slots_odd_lane_count():
+    """The DEFAULT config (pair_slots=3) through the narrowing
+    while_loop with n an odd multiple of 256: m1 must be aligned so
+    m1 * F divides pair_tile (a 64-aligned m1 crashed at trace time),
+    and n > 2 * m1 exercises the loop's second iteration."""
+    mesh = _mesh(3)
+    cm = build_cluster_mesh(mesh, block=64)
+    n = 768  # odd multiple of 256 -> npad = 768, npad // 2 = 384
+    o, d = _rays(n, seed=7)
+    config = RenderConfig(cluster=True, cluster_pairs=True,
+                          cluster_tile=256)
+    assert config.pair_slots == 3  # the default this test guards
+    hit_p = jax.jit(
+        lambda o, d: intersect_mesh_pairs(o, d, cm, config)
+    )(o, d)
+    hit_b = jax.jit(
+        lambda o, d: intersect_mesh_brute(
+            o, d, jax.tree.map(jnp.asarray, mesh), use_bbox=False)
+    )(o, d)
+    t_p, t_b = np.asarray(hit_p.t), np.asarray(hit_b.t)
+    miss_p, miss_b = t_p >= 1e30, t_b >= 1e30
+    assert (miss_p == miss_b).all()
+    np.testing.assert_allclose(t_p[~miss_p], t_b[~miss_b],
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_pairs_t_init_and_active_masking():
     mesh = _mesh(2)
     cm = build_cluster_mesh(mesh, block=64)
