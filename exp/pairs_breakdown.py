@@ -56,13 +56,13 @@ def timeit(label, fn, init, reps=REPS):
 
 
 def extract(c):
-    ids, lbov, cnt = pr._extract_pallas(c, cm.slab_w, cm.blk, tile, F, False)
+    ids, lbov, cnt = pr._extract_pallas(c, cm.slab, cm.blk, tile, F, False)
     return c + 0.0 * lbov[:, None]
 
 
 timeit("extract", extract, x)
 
-ids0, lbov0, cnt0 = pr._extract_pallas(x, cm.slab_w, cm.blk, tile, F, False)
+ids0, lbov0, cnt0 = pr._extract_pallas(x, cm.slab, cm.blk, tile, F, False)
 P = n * F
 keys0 = ids0.reshape(P)
 pidx_a = jnp.arange(P, dtype=jnp.int32)

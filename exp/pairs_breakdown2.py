@@ -1,0 +1,183 @@
+"""Stage-by-stage timing of the runs-based _pair_pass at dragon scale
+(TPU). Deltas isolate: extract / narrow-compact / packed sort /
+od-gather / runs kernel / back-sort / reduce / composites.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_cache')
+import jax.numpy as jnp
+
+from kdtreepathtraceroptimization_tpu.config import RenderConfig
+from kdtreepathtraceroptimization_tpu.ops import pairs as pr
+from kdtreepathtraceroptimization_tpu.ops import walk as wk
+from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+from bench import _mesh_scene
+
+REPS = int(os.environ.get("REPS", "6"))
+scene, n_tris, label = _mesh_scene(800, None)
+cm = scene.cmesh
+config = RenderConfig(cluster=True, cluster_pairs=True)
+tile, F, ptile = config.cluster_tile, config.pair_slots, config.pair_tile
+kp = cm.n_blocks
+kreal = cm.n_real_blocks
+block = cm.block
+print(f"{label} {n_tris} tris tile={tile} F={F} ptile={ptile} kp={kp} "
+      f"kreal={kreal} block={block}", flush=True)
+
+w = np.load("/tmp/wave.npz")
+o = jnp.asarray(w["o"]) - cm.center_shift
+d = jnp.asarray(w["d"])
+t0 = jnp.asarray(np.minimum(w["t0"], 1e4))
+n = o.shape[0]
+act = jnp.ones((n,), jnp.float32)
+x = wk._ray16(o, d, t0, act)
+
+
+def timeit(label, fn, init, reps=REPS):
+    f = jax.jit(lambda c: jax.tree.map(
+        lambda a: jnp.sum(a.astype(jnp.float32)),
+        jax.lax.fori_loop(0, reps, lambda i, c: fn(c), init)))
+    v = float(np.asarray(jax.tree.leaves(f(init))[0]))
+    best = 1e9
+    for _ in range(3):
+        t = time.perf_counter()
+        v = float(np.asarray(jax.tree.leaves(f(init))[0]))
+        best = min(best, time.perf_counter() - t)
+    per = best / reps
+    print(f"{label:16s} {per*1e3:9.2f} ms  ({per/n*1e9:6.1f} ns/ray) v={v:.3g}",
+          flush=True)
+    return per
+
+
+# --- extract ---------------------------------------------------------
+def extract(c):
+    ids, lbov, cnt = pr._extract_pallas(c, cm.slab, cm.blk, tile, F, False)
+    return c + 0.0 * lbov[:, None]
+
+timeit("extract", extract, x)
+
+ids0, lbov0, cnt0 = pr._extract_pallas(x, cm.slab, cm.blk, tile, F, False)
+od8_full = x[:, :8]
+npad = n
+m1 = max(ptile, -(-npad // 2 // ptile) * ptile)
+print(f"mesh_act={int(jnp.sum(cnt0 > 0))} of {n}  m1={m1}", flush=True)
+
+# --- narrowing compaction (one round) --------------------------------
+iota_n = jnp.arange(npad, dtype=jnp.int32)
+
+
+def narrow(c):
+    todo = c > 0
+    _, pos = jax.lax.sort(((~todo).astype(jnp.int32), iota_n), num_keys=1)
+    pos = pos[:m1]
+    nr = jnp.sum(todo.astype(jnp.int32))
+    live = jnp.arange(m1, dtype=jnp.int32) < jnp.minimum(nr, m1)
+    ids_c = jnp.where(live[:, None], ids0[pos], jnp.int32(kp))
+    od8_c = od8_full[pos] * live.astype(jnp.float32)[:, None]
+    return c + 0 * (ids_c[0, 0] + od8_c[0, 0].astype(jnp.int32))
+
+timeit("narrow_compact", narrow, cnt0)
+
+todo = cnt0 > 0
+_, pos = jax.lax.sort(((~todo).astype(jnp.int32), iota_n), num_keys=1)
+pos = pos[:m1]
+nr = jnp.sum(todo.astype(jnp.int32))
+live = jnp.arange(m1, dtype=jnp.int32) < jnp.minimum(nr, m1)
+ids_c = jnp.where(live[:, None], ids0[pos], jnp.int32(kp))
+od8_c = od8_full[pos] * live.astype(jnp.float32)[:, None]
+
+nn, FF = ids_c.shape
+P = nn * FF
+p2bits = (P - 1).bit_length()
+print(f"P={P} p2bits={p2bits}", flush=True)
+iota_p = jnp.arange(P, dtype=jnp.int32)
+
+
+# --- packed 1-op sort ------------------------------------------------
+def psort(c):
+    keys = (c.reshape(P) << p2bits) | iota_p
+    keys_s = jax.lax.sort(keys)
+    return c + 0 * keys_s.reshape(c.shape)
+
+timeit("packed_sort", psort, ids_c)
+
+keys_s0 = jax.lax.sort((ids_c.reshape(P) << p2bits) | iota_p)
+src0 = keys_s0 & ((1 << p2bits) - 1)
+blk_s0 = keys_s0 >> p2bits
+
+
+# --- od gather -------------------------------------------------------
+def odg(c):
+    od = od8_c[c // FF]
+    return c + 0 * od[:, 0].astype(jnp.int32)
+
+timeit("od_gather", odg, src0)
+
+od0 = od8_c[src0 // FF]
+
+
+# --- runs kernel -----------------------------------------------------
+def kern(c):
+    t_s, loc_s = pr._pair_runs_pallas(blk_s0, c, cm.w, block, ptile,
+                                      kreal, False)
+    return c + 0 * t_s[:, None]
+
+timeit("runs_kernel", kern, od0)
+
+t_s0, loc_s0 = pr._pair_runs_pallas(blk_s0, od0, cm.w, block, ptile,
+                                    kreal, False)
+
+
+# --- back-sort (3-op) ------------------------------------------------
+def backsort(c):
+    _, t_p, loc_p = jax.lax.sort((src0, c, loc_s0), num_keys=1)
+    return c + 0 * t_p
+
+timeit("back_sort3", backsort, t_s0)
+
+_, t_p0, loc_p0 = jax.lax.sort((src0, t_s0, loc_s0), num_keys=1)
+t_p0 = t_p0.reshape(nn, FF)
+loc_p0 = loc_p0.reshape(nn, FF)
+
+
+# --- reduce ----------------------------------------------------------
+def reduce_(c):
+    t_best = jnp.min(c, axis=1)
+    is_min = c == t_best[:, None]
+    first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
+    blk_best = jnp.sum(jnp.where(first, ids_c, 0), axis=1)
+    loc_best = jnp.sum(jnp.where(first, loc_p0, 0), axis=1)
+    tri = jnp.where(t_best < BIG, blk_best * block + loc_best, -1)
+    return c + 0 * (t_best[:, None] + tri[:, None].astype(jnp.float32))
+
+timeit("reduce", reduce_, t_p0)
+
+
+# --- composite: _pair_pass on compacted input ------------------------
+def pp(c):
+    t1, tri1 = pr._pair_pass(ids_c, c, cm, ptile, kreal, True, False)
+    return c + 0 * t1[:, None]
+
+timeit("_pair_pass", pp, od8_c)
+
+
+# --- composites: full public entry -----------------------------------
+def pass1(c):
+    hit = pr.intersect_mesh_pairs(c + cm.center_shift, d, cm, config,
+                                  t_init=t0, max_passes=1)
+    return c + 0.0 * hit.t[:, None]
+
+timeit("pass1_full", pass1, o)
+
+
+def full(c):
+    hit = pr.intersect_mesh_pairs(c + cm.center_shift, d, cm, config,
+                                  t_init=t0)
+    return c + 0.0 * hit.t[:, None]
+
+timeit("full", full, o)

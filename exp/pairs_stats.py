@@ -26,7 +26,7 @@ x = wk._ray16(o, d, t0, act)
 F = config.pair_slots
 
 ids, lbov, cnt = jax.jit(lambda x: pr._extract_pallas(
-    x, cm.slab_w, cm.blk, config.cluster_tile, F, False))(x)
+    x, cm.slab, cm.blk, config.cluster_tile, F, False))(x)
 cnt = np.asarray(cnt)
 print(f"n={n} active(cnt>0)={np.mean(cnt>0):.3f} mean_cnt={cnt.mean():.2f} "
       f"p95={np.percentile(cnt,95):.0f} p99={np.percentile(cnt,99):.0f} "

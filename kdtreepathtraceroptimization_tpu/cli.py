@@ -59,9 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--material-sort", action="store_true")
     p.add_argument("--ray-cache", action="store_true")
     p.add_argument("--cluster", action="store_true",
-                   help="use the cluster-family intersectors instead of the "
-                        "KD walk (exact, fastest at high poly counts on TPU); "
-                        "variant picked by --cluster-mode")
+                   help="force the cluster-family intersectors (variant "
+                        "picked by --cluster-mode). By default the fast path "
+                        "is AUTO-selected: meshes at or above the measured "
+                        "TPU crossover take the pair-list intersector, "
+                        "smaller ones the KD walk")
+    p.add_argument("--no-auto-intersector", action="store_true",
+                   help="disable the crossover auto-select; use only the "
+                        "explicitly flagged intersector (--cluster / KD)")
     p.add_argument("--cluster-mode", default="pairs",
                    choices=["pairs", "walk", "binned", "rounds"],
                    help="cluster intersector variant: 'pairs' (ops/pairs.py, "
@@ -152,6 +157,7 @@ def main(argv=None) -> int:
         material_sort=args.material_sort,
         ray_cache=args.ray_cache,
         cluster=args.cluster,
+        cluster_auto=not args.no_auto_intersector,
         cluster_pairs=args.cluster_mode == "pairs",
         cluster_walk=args.cluster_mode == "walk",
         cluster_binned=args.cluster_mode == "binned",

@@ -136,6 +136,18 @@ class RenderConfig:
     # unselected block could still beat. Takes precedence over
     # ``enable_kd`` when the scene has a cluster table.
     cluster: bool = False
+    # Auto-select the production intersector: when the scene has a
+    # cluster table AND the mesh is at least ``cluster_min_tris``
+    # triangles, the cluster family (variant picked by the
+    # cluster_pairs/walk/binned flags — pairs by default) is used even
+    # with ``cluster=False``. Below the threshold the KD walk wins
+    # (fixed extraction/sort overheads dominate tiny meshes); the
+    # threshold is the measured TPU crossover (artifacts/SWEEP_r04,
+    # tools/benchmarks.py — the reference documents the same crossover
+    # phenomenon at ~1.8k verts, README.md:215-220). Set
+    # ``cluster_auto=False`` to force the explicit flags only.
+    cluster_auto: bool = True
+    cluster_min_tris: int = 2048
     cluster_tile: int = 1024   # rays per tile (coherence order)
     # Max entry-ordered blocks walked per tile. The per-tile early exit
     # + copy-deduped round padding make unused rounds nearly free, so

@@ -73,9 +73,9 @@ class ClusterMesh(NamedTuple):
     w: jax.Array        # [Kpad, 16, 4B] f32 MT weight blocks (centered)
     blk: jax.Array      # [8, Kpad] f32 rows: cx cy cz radius |c|^2 r2 0 0
     cull_w: jax.Array   # [8, 2*Kpad] f32 matmul weights for (d.c | o.c)
-    slab_w: jax.Array   # [16, 6*Kpad] f32 AABB slab weights: spans
-                        # [lo_x lo_y lo_z hi_x hi_y hi_z] x Kpad on the
-                        # invd feature rows (ops/walk.py cull)
+    slab: jax.Array     # [8, Kpad] f32 AABB slab table: rows
+                        # [lo_x lo_y lo_z hi_x hi_y hi_z 0 0]
+                        # (ops/walk.py VPU slab cull)
     center_shift: jax.Array  # [3] f32 shift applied to tris/rays (precision)
     root_min: jax.Array  # [3] f32 sphere-union lower corner (centered)
     root_max: jax.Array  # [3] f32 sphere-union upper corner (centered)
@@ -249,13 +249,11 @@ def build_cluster_mesh(mesh, block: int = 256,
     cull_w[3:6, :k] = centers.T      # d . c
     cull_w[0:3, kp:kp + k] = centers.T  # o . c
 
-    # AABB slab weights (ops/walk.py): x16 features are
-    # [o(3) d(3) t0 act invd(3) oinvd(3) 0 0]; prod column (a, k) of
-    # span a<3 gives lo_a[k]*invd_a, span a>=3 gives hi_a[k]*invd_a.
-    slab_w = np.zeros((16, 6 * kp), np.float32)
-    for a in range(3):
-        slab_w[8 + a, a * kp:a * kp + k] = lo[:, a]
-        slab_w[8 + a, (3 + a) * kp:(3 + a) * kp + k] = hi[:, a]
+    # AABB slab table (ops/walk.py VPU cull): rows 0-2 = lo, 3-5 = hi;
+    # sentinel columns stay 0 and are rejected by blk row 5 (r2 = -1).
+    slab = np.zeros((8, kp), np.float32)
+    slab[0:3, :k] = lo.T
+    slab[3:6, :k] = hi.T
 
     root_min = (centers - radii[:, None]).min(0)
     root_max = (centers + radii[:, None]).max(0)
@@ -264,7 +262,7 @@ def build_cluster_mesh(mesh, block: int = 256,
         w=jnp.asarray(w),
         blk=jnp.asarray(blk),
         cull_w=jnp.asarray(cull_w),
-        slab_w=jnp.asarray(slab_w),
+        slab=jnp.asarray(slab),
         center_shift=jnp.asarray(center_shift),
         root_min=jnp.asarray(root_min),
         root_max=jnp.asarray(root_max),

@@ -15,15 +15,15 @@ This module schedules (ray, block) PAIRS instead:
                (iterated masked argmin over the slab-cull entries) plus
                the (F+1)-th entry bound ``lb_over`` (the exactness
                proof threshold) and the feasible count.
-  2. group     pairs sorted by block id (one 2-operand lax.sort of the
-               [N*F] slot array; sentinel slots sink to the end), then
-               laid out so every 256-pair tile is MONO-BLOCK (per-block
-               counts aligned up to the tile size — block-sparse
-               layout, all shapes static).
-  3. test      (Pallas): one grid cell per pair tile; the tile's block
-               id is scalar-prefetched, its [16, 4B] Moller-Trumbore
-               weight block streamed once, one MXU round; per-slot
-               nearest (t, loc).
+  2. group     ONE 1-operand lax.sort of packed (block id | pair idx)
+               keys groups pairs by block (sentinel slots sink to the
+               end) and carries the inverse mapping in the key's low
+               bits; one row gather fetches the slot records.
+  3. test      (Pallas): one grid cell per 256-pair tile of the sorted
+               order; a while_loop walks the tile's contiguous
+               same-block RUNS (mean ~1.1/tile), double-buffering each
+               run's [16, 4B] Moller-Trumbore weight block from HBM
+               behind the MXU round; per-slot nearest (t, loc).
   4. reduce    results return to [N, F] slot order (one keyed sort) and
                fold with a per-ray min — deterministic, no scatter.
   5. prove     a ray is EXACT when its best t <= lb_over (no untested
@@ -69,8 +69,8 @@ WALK_LANES = 8192
 _IDX_BITS = 10  # block id bits packed into the key's low mantissa
 
 
-def _extract_math(x, prod, blk, kp, F):
-    """[sub, 16] features + [sub, 6K] slab products -> per-ray top-F
+def _extract_math(x, slab, blk, kp, F):
+    """[sub, 16] features + [8, K] slab table -> per-ray top-F
     entry-ordered feasible block ids [sub, F] (kp where exhausted),
     lb_over [sub, 1] (a conservative (F+1)-th smallest entry; BIG when
     none) and feasible count [sub, 1].
@@ -85,7 +85,7 @@ def _extract_math(x, prod, blk, kp, F):
     lb_over's mantissa truncation only LOWERS the proof bound —
     conservative."""
     assert kp <= (1 << _IDX_BITS)
-    entry = wk._slab_entry_math(x, prod, blk, kp)  # [sub, K]
+    entry = wk._slab_entry_math(x, slab, blk, kp)  # [sub, K]
     count = jnp.sum((entry < BIG).astype(jnp.int32), axis=1, keepdims=True)
     # int32 keys: entries are non-negative floats whose bit patterns
     # order numerically even as SIGNED ints (sign bit 0), and Mosaic
@@ -113,24 +113,19 @@ def _extract_math(x, prod, blk, kp, F):
     return jnp.concatenate(ids, axis=1), lb_over, count
 
 
-def _extract_kernel(x_ref, sw_ref, blk_ref, ids_ref, lbov_ref, cnt_ref,
+def _extract_kernel(x_ref, slab_ref, blk_ref, ids_ref, lbov_ref, cnt_ref,
                     *, kp, tile, F):
     sub = tile // 8
     for m in range(8):
         x = x_ref[m * sub:(m + 1) * sub, :]
-        prod = jax.lax.dot_general(
-            x, sw_ref[:, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ids, lbov, cnt = _extract_math(x, prod, blk_ref, kp, F)
+        ids, lbov, cnt = _extract_math(x, slab_ref[:, :], blk_ref, kp, F)
         ids_ref[m * sub:(m + 1) * sub, :] = ids
         lbov_ref[m * sub:(m + 1) * sub, :] = lbov
         cnt_ref[m * sub:(m + 1) * sub, :] = cnt
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "F", "interpret"))
-def _extract_pallas(x, slab_w, blk, tile: int, F: int, interpret: bool):
+def _extract_pallas(x, slab, blk, tile: int, F: int, interpret: bool):
     import jax.experimental.pallas as pl
 
     n = x.shape[0]
@@ -142,7 +137,7 @@ def _extract_pallas(x, slab_w, blk, tile: int, F: int, interpret: bool):
         grid=(g,),
         in_specs=[
             pl.BlockSpec((tile, 16), lambda i: (i, 0)),
-            pl.BlockSpec((16, 6 * kp), lambda i: (0, 0)),
+            pl.BlockSpec((8, kp), lambda i: (0, 0)),
             pl.BlockSpec((8, kp), lambda i: (0, 0)),
         ],
         out_specs=[
@@ -156,15 +151,14 @@ def _extract_pallas(x, slab_w, blk, tile: int, F: int, interpret: bool):
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(x, slab_w, blk)
+    )(x, slab, blk)
     return ids, lbov.reshape(n), cnt.reshape(n)
 
 
-def _extract_ref(x, slab_w, blk, F):
+def _extract_ref(x, slab, blk, F):
     """jnp mirror (CPU path / oracle)."""
     kp = blk.shape[1]
-    prod = x @ slab_w
-    ids, lbov, cnt = _extract_math(x, prod, blk, kp, F)
+    ids, lbov, cnt = _extract_math(x, slab, blk, kp, F)
     return ids, lbov.reshape(-1), cnt.reshape(-1)
 
 
@@ -189,78 +183,152 @@ def _feat16(od):
     return jnp.concatenate([o3, d3, m, one, z], axis=1) * one
 
 
-def _pair_kernel(blkid_ref, od_ref, w_ref, t_ref, loc_ref,
-                 *, block, ptile):
-    """One MXU round per mono-block pair tile."""
+def _pair_runs_kernel(blk3_ref, blkcol_ref, od_ref, w_hbm, t_ref, loc_ref,
+                      wbuf, sem, *, block, ptile, kreal):
+    """Per sorted-pair tile: walk the tile's block RUNS.
+
+    The global block-id sort leaves each tile's pairs grouped into a
+    few contiguous same-block runs (mean ~1.1: mean pairs/block far
+    exceeds the tile size, so most tiles are one run plus at most one
+    boundary split). A while_loop walks the runs: each round DMAs the
+    run's [16, 4B] Moller-Trumbore weight block (prefetching the next
+    run's behind the matmul — the ops/walk.py double-buffer pattern),
+    one MXU round over the WHOLE tile, and a row-range select merges
+    the run's rows. This replaces the round-3 mono-block layout whose
+    per-block tile alignment needed a scatter+cummax align chain and a
+    sentinel-padded [P + (K+1)*ptile] slot array — the runs layout
+    works directly on the dense sorted order. Sentinel pairs
+    (id >= kreal) sort to the global tail; their rows keep the BIG/0
+    initialization and the loop stops at the first sentinel run."""
     import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    real = blkid_ref[0] >= 0
+    t_ref[:, :] = jnp.full((ptile, 1), BIG, jnp.float32)
+    loc_ref[:, :] = jnp.zeros((ptile, 1), jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ptile, 1), 0)
+    blkcol = blkcol_ref[:, :]
+    od = od_ref[:, :]
+    feat = _feat16(od)
+    t0col = od[:, 6:7]
 
-    @pl.when(real)
+    def dma(slot, b):
+        return pltpu.make_async_copy(w_hbm.at[b], wbuf.at[slot], sem.at[slot])
+
+    b0 = blk3_ref[0, 0, 0]
+
+    @pl.when(b0 < kreal)
     def _():
-        od = od_ref[:, :]
+        dma(0, b0).start()
+
+    def cond(st):
+        r0, b, slot = st
+        return (r0 < ptile) & (b < kreal)
+
+    def body(st):
+        r0, b, slot = st
+        # sorted order -> the run of block b starting at r0 is
+        # contiguous; its length is a single VPU count.
+        cnt = jnp.sum(((blkcol == b) & (rows >= r0)).astype(jnp.int32))
+        r1 = r0 + cnt
+        b_next = blk3_ref[0, 0, jnp.minimum(r1, ptile - 1)]
+
+        # The prefetch predicate equals cond() of the next state, so
+        # every started DMA is waited by exactly one later round — no
+        # drain pass is needed.
+        @pl.when((r1 < ptile) & (b_next < kreal))
+        def _():
+            dma(1 - slot, b_next).start()
+
+        dma(slot, b).wait()
         prod = jax.lax.dot_general(
-            _feat16(od), w_ref[0, :, :],
+            feat, wbuf[slot],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        t = mxu_bf._epilogue(prod, block, od[:, 6:7])
-        t_ref[:, :] = jnp.min(t, axis=1, keepdims=True)
-        loc_ref[:, :] = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+        t = mxu_bf._epilogue(prod, block, t0col)
+        tmin = jnp.min(t, axis=1, keepdims=True)
+        lmin = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+        in_run = (rows >= r0) & (rows < r1)
+        t_ref[:, :] = jnp.where(in_run, tmin, t_ref[:, :])
+        loc_ref[:, :] = jnp.where(in_run, lmin, loc_ref[:, :])
+        return r1, b_next, 1 - slot
 
-    @pl.when(jnp.logical_not(real))
-    def _():
-        t_ref[:, :] = jnp.full((ptile, 1), BIG, jnp.float32)
-        loc_ref[:, :] = jnp.zeros((ptile, 1), jnp.int32)
+    jax.lax.while_loop(cond, body, (jnp.int32(0), b0, jnp.int32(0)))
 
 
-@functools.partial(jax.jit, static_argnames=("block", "ptile", "interpret"))
-def _pair_test_pallas(blkid, od, w, block: int, ptile: int,
+@functools.partial(jax.jit, static_argnames=("block", "ptile", "kreal",
+                                             "interpret"))
+def _pair_runs_pallas(blk_s, od, w, block: int, ptile: int, kreal: int,
                       interpret: bool):
+    """blk_s [P] i32 (block id per sorted pair, ascending), od [P, 8]
+    -> per-pair nearest (t [P], loc [P]) within its block."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     s = od.shape[0]
     g = s // ptile
-    kernel = functools.partial(_pair_kernel, block=block, ptile=ptile)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # blkid [g]
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec((ptile, 8), lambda i, blkid: (i, 0)),
-            pl.BlockSpec((1, 16, 4 * block),
-                         lambda i, blkid: (jnp.maximum(blkid[i], 0), 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((ptile, 1), lambda i, blkid: (i, 0)),
-            pl.BlockSpec((ptile, 1), lambda i, blkid: (i, 0)),
-        ],
-    )
+    kernel = functools.partial(_pair_runs_kernel, block=block, ptile=ptile,
+                               kreal=kreal)
     t, loc = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ptile), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ptile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((ptile, 8), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((ptile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((ptile, 1), lambda i: (i, 0)),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((s, 1), jnp.float32),
             jax.ShapeDtypeStruct((s, 1), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 16, 4 * block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(blkid, od, w)
+    )(blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), od, w)
     return t.reshape(s), loc.reshape(s)
 
 
-def _pair_test_ref(blkid, od, w, block: int, ptile: int):
-    """jnp mirror of the pair-tile kernel."""
-    s = od.shape[0]
-    g = s // ptile
-    wsel = w[jnp.maximum(blkid, 0)]                       # [g, 16, 4B]
-    feat = _feat16(od)
-    prod = jnp.einsum("gtf,gfc->gtc", feat.reshape(g, ptile, 16), wsel)
-    t = mxu_bf._epilogue(prod.reshape(s, 4 * block), block, od[:, 6])
-    t = t.reshape(g, ptile, block)
-    tmin = jnp.min(t, axis=2).reshape(s)
-    loc = jnp.argmin(t, axis=2).reshape(s).astype(jnp.int32)
-    real = jnp.repeat(blkid >= 0, ptile)
-    return jnp.where(real, tmin, BIG), jnp.where(real, loc, 0)
+def _pair_slots_ref(ids, od8, w, block, kreal, chunk: int = 4096):
+    """jnp mirror (CPU path / oracle): per-slot nearest (t, loc) in
+    [n, F] slot order directly — no sorting, per-slot weight gather.
+    Chunked with lax.map so the [chunk, 16, 4B] gathered weights stay
+    bounded at any wavefront size."""
+    n, F = ids.shape
+    chunk = min(chunk, n)
+    pad = (-n) % chunk
+    if pad:
+        ids = jnp.concatenate(
+            [ids, jnp.full((pad, F), kreal, ids.dtype)])
+        od8 = jnp.concatenate([od8, jnp.zeros((pad, 8), od8.dtype)])
+
+    def one(args):
+        ids_c, od_c = args
+        feat = _feat16(od_c)
+        t0 = od_c[:, 6]
+        ts, locs = [], []
+        for f in range(F):
+            blk = ids_c[:, f]
+            ok = blk < kreal
+            wsel = w[jnp.where(ok, blk, 0)]               # [chunk, 16, 4B]
+            prod = jnp.einsum("nf,nfc->nc", feat, wsel)
+            t = mxu_bf._epilogue(prod, block, t0)
+            tmin = jnp.min(t, axis=1)
+            loc = jnp.argmin(t, axis=1).astype(jnp.int32)
+            ts.append(jnp.where(ok, tmin, BIG))
+            locs.append(jnp.where(ok, loc, 0))
+        return jnp.stack(ts, axis=1), jnp.stack(locs, axis=1)
+
+    t, loc = jax.lax.map(
+        one, (ids.reshape(-1, chunk, F), od8.reshape(-1, chunk, 8)))
+    return (t.reshape(n + pad, F)[:n], loc.reshape(n + pad, F)[:n])
 
 
 def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret):
@@ -268,73 +336,39 @@ def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret):
     (t_best [n], tri_best [n]) over those pairs (BIG/-1 where none).
 
     ids == kp marks empty slots. od8 [n, 8] per-ray slot record
-    (o, d, t0, activef) — t0 bounds the epilogue."""
+    (o, d, t0, activef) — t0 bounds the epilogue.
+
+    TPU path: ONE 1-operand packed-key sort (block id in the high
+    bits, pair index in a pow2 low field) groups pairs by block while
+    carrying the inverse mapping for free; one row gather fetches the
+    slot records; the runs kernel tests everything; one keyed sort
+    restores slot order. No alignment, no scatter."""
     n, F = ids.shape
     kp = cm.n_blocks
     P = n * F
     block = cm.block
 
-    keys = ids.reshape(P)
-    pidx = jnp.arange(P, dtype=jnp.int32)
-    keys_s, pidx_s = jax.lax.sort((keys, pidx), num_keys=1)
-
-    # per-block segment boundaries + tile-aligned layout. The sentinel
-    # id kp gets aligned slots too (its tiles carry blkid -1 and skip
-    # compute) so that EVERY pair owns exactly one slot and the keyed
-    # back-sort below restores dense [n, F] order.
-    nb = kp + 1
-    bounds = jnp.searchsorted(keys_s, jnp.arange(nb, dtype=jnp.int32))
-    cnt = jnp.diff(jnp.concatenate([bounds, jnp.asarray([P], jnp.int32)]))
-    acnt = (cnt + ptile - 1) // ptile * ptile
-    aoff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                            jnp.cumsum(acnt, dtype=jnp.int32)])
-    s_max = P + nb * ptile                            # static worst case
-
-    # slot -> (owning block, source pair) via scatter + cummax: each
-    # block's segment start (aoff[b]) is stamped with its per-block
-    # values and a cumulative max fills the segment — two vector passes
-    # over [s_max] instead of a binary search + three table gathers.
-    # All three stamped channels (block id, aoff, bounds) are monotone
-    # nondecreasing in b, so cummax is exact; duplicate aoff stamps
-    # (empty blocks) resolve to the LAST block, matching
-    # searchsorted-right.
-    slot = jnp.arange(s_max, dtype=jnp.int32)
-    stamp_idx = aoff[:nb]
-    neg = jnp.full((s_max,), -1, jnp.int32)
-    bid = jnp.arange(nb, dtype=jnp.int32)
-    blk_of = jax.lax.cummax(neg.at[stamp_idx].max(bid))
-    aoff_of = jax.lax.cummax(neg.at[stamp_idx].max(aoff[:nb]))
-    bounds_of = jax.lax.cummax(neg.at[stamp_idx].max(bounds))
-    hi_of = jax.lax.cummax(
-        neg.at[stamp_idx].max(jnp.concatenate(
-            [bounds[1:], jnp.asarray([P], jnp.int32)])))
-    within = slot - aoff_of
-    src = bounds_of + within
-    valid = (src < hi_of) & (slot < aoff[nb]) & (blk_of >= 0)
-    src = jnp.where(valid, src, 0)
-    slot_p = jnp.where(valid, pidx_s[src], -1)
-
-    ray = jnp.maximum(slot_p, 0) // F
-    od = od8[ray] * valid[:, None].astype(jnp.float32)
-
-    # per-tile block id (mono-block by construction); -1 = padding or
-    # sentinel tiles, skipped by the kernel
-    tile_blk = blk_of.reshape(-1, ptile)[:, 0]
-    tile_live = valid.reshape(-1, ptile).any(axis=1)
-    tile_blk = jnp.where(tile_live & (tile_blk < kreal), tile_blk, -1)
-
     if on_tpu:
-        t_s, loc_s = _pair_test_pallas(tile_blk, od, cm.w, block,
-                                       ptile, interpret)
+        assert P % ptile == 0, (P, ptile)
+        p2bits = (P - 1).bit_length()
+        iota = jnp.arange(P, dtype=jnp.int32)
+        if (kp + 1) << p2bits < 2 ** 31:
+            keys = (ids.reshape(P) << p2bits) | iota
+            keys_s = jax.lax.sort(keys)
+            src = keys_s & ((1 << p2bits) - 1)
+            blk_s = keys_s >> p2bits
+        else:  # key would overflow i32: fall back to a 2-operand sort
+            blk_s, src = jax.lax.sort((ids.reshape(P), iota), num_keys=1)
+        od = od8[src // F]
+        t_s, loc_s = _pair_runs_pallas(blk_s, od, cm.w, block, ptile,
+                                       kreal, interpret)
+        # back to [n, F] slot order: one keyed sort (src is a
+        # permutation of [0, P), so this is exact and dense)
+        _, t_p, loc_p = jax.lax.sort((src, t_s, loc_s), num_keys=1)
+        t_p = t_p.reshape(n, F)
+        loc_p = loc_p.reshape(n, F)
     else:
-        t_s, loc_s = _pair_test_ref(tile_blk, od, cm.w, block, ptile)
-    t_s = jnp.where(valid, t_s, BIG)
-
-    # back to [n, F] slot order: one keyed sort (invalid slots sink)
-    key_back = jnp.where(slot_p >= 0, slot_p, P)
-    _, t_p, loc_p = jax.lax.sort((key_back, t_s, loc_s), num_keys=1)
-    t_p = t_p[:P].reshape(n, F)
-    loc_p = loc_p[:P].reshape(n, F)
+        t_p, loc_p = _pair_slots_ref(ids, od8, cm.w, block, kreal)
 
     # Winner select by first-true mask, not argmin + take_along_axis:
     # per-lane gathers over a tiny axis serialize on TPU (the same
@@ -391,10 +425,10 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
 
     # pass 1: top-F pairs
     if on_tpu:
-        ids, lbov, cnt = _extract_pallas(x, cm.slab_w, cm.blk, tile, F,
+        ids, lbov, cnt = _extract_pallas(x, cm.slab, cm.blk, tile, F,
                                          interpret)
     else:
-        ids, lbov, cnt = _extract_ref(x, cm.slab_w, cm.blk, F)
+        ids, lbov, cnt = _extract_ref(x, cm.slab, cm.blk, F)
 
     od8 = x[:, :8]  # (o, d, t0, actf) slot record
 
@@ -475,10 +509,10 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         x2 = x2.at[:, 7].set(x2[:, 7] * livef)
         x2 = x2.at[:, 3:6].mul(livef[:, None])
         if on_tpu:
-            ids2, lbov2, cnt2 = _extract_pallas(x2, cm.slab_w, cm.blk,
+            ids2, lbov2, cnt2 = _extract_pallas(x2, cm.slab, cm.blk,
                                                 min(tile, m2), F2, interpret)
         else:
-            ids2, lbov2, cnt2 = _extract_ref(x2, cm.slab_w, cm.blk, F2)
+            ids2, lbov2, cnt2 = _extract_ref(x2, cm.slab, cm.blk, F2)
         ids2 = ids2[:, F:]
         bt2g = jnp.where(live, bt[pos], 0.0)
         od2 = x2[:, :8].at[:, 6].set(bt2g)  # epilogue bound = current best
@@ -524,9 +558,9 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         x3 = x3.at[:, 7].set(x3[:, 7] * livef)
         x3 = x3.at[:, 3:6].mul(livef[:, None])
         if on_tpu:
-            te = wk._slab_cull_pallas(x3, cm.slab_w, cm.blk, tile3, interpret)
+            te = wk._slab_cull_pallas(x3, cm.slab, cm.blk, tile3, interpret)
         else:
-            te = wk._slab_cull_ref(x3, cm.slab_w, cm.blk, tile3)
+            te = wk._slab_cull_ref(x3, cm.slab, cm.blk, tile3)
         sel, lb, nsel = wk._full_select(te)
         r3 = mxu_bf.ray_features(x3[:, 0:3], x3[:, 3:6]) * livef[:, None]
         r3 = jnp.concatenate([r3, jnp.zeros((m3, 6), jnp.float32)], axis=1)

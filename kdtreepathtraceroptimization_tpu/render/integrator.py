@@ -44,7 +44,16 @@ def intersect_scene(origin, direction, geoms, materials, mesh, kd,
     """
     hit = isect.intersect_geoms(origin, direction, geoms)
     if mesh is not None:
-        if config.cluster and cmesh is not None:
+        # Production auto-select (config.cluster_auto): big meshes take
+        # the cluster family, small ones the KD walk — the measured TPU
+        # crossover (config.cluster_min_tris). Static per compile: the
+        # mesh size is a trace-time constant.
+        use_cluster = cmesh is not None and (
+            config.cluster
+            or (config.cluster_auto
+                and int(mesh.v0.shape[0]) >= config.cluster_min_tris)
+        )
+        if use_cluster:
             if getattr(config, "cluster_pairs", False):
                 from kdtreepathtraceroptimization_tpu.ops.pairs import (
                     intersect_mesh_pairs as _isect_cluster,

@@ -31,9 +31,9 @@ def test_extraction_matches_dense_entries():
     x = _ray16(o, d, jnp.full((512,), 1e30, jnp.float32),
                jnp.ones((512,), jnp.float32))
     F = 3
-    ids, lbov, cnt = _extract_ref(x, cm.slab_w, cm.blk, F)
+    ids, lbov, cnt = _extract_ref(x, cm.slab, cm.blk, F)
     ids, lbov, cnt = np.asarray(ids), np.asarray(lbov), np.asarray(cnt)
-    entry = np.asarray(_slab_cull_ref(x, cm.slab_w, cm.blk, 1))  # per-ray
+    entry = np.asarray(_slab_cull_ref(x, cm.slab, cm.blk, 1))  # per-ray
     kp = cm.n_blocks
     feas = entry < 1e30
     np.testing.assert_array_equal(cnt, feas.sum(1))

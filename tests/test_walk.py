@@ -41,7 +41,7 @@ def test_slab_cull_is_conservative():
     x = _ray16(oc, jnp.asarray(d), jnp.full((2048,), 1e30, jnp.float32),
                jnp.ones((2048,), jnp.float32))
     # per-RAY entries (tile=1 degenerate via reshape)
-    entry = np.asarray(_slab_cull_ref(x, cm.slab_w, cm.blk, 1))
+    entry = np.asarray(_slab_cull_ref(x, cm.slab, cm.blk, 1))
     # the hit triangle's block must be feasible with entry <= t_hit.
     # brute tri ids index the ORIGINAL mesh; map via vertex identity:
     # instead just check: some feasible block has entry <= t_hit
