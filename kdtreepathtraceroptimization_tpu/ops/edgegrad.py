@@ -27,10 +27,13 @@ Monte-Carlo edge sampling:
 5. contribution per sample: (L_minus - L_plus) . cot[pixel] *
    d(screen position . n_hat)/dtheta * (projected edge length / K).
 
-Scope: primary-visibility silhouettes (camera edges), gradients w.r.t.
-mesh vertex positions AND camera position/look_at. Secondary-bounce
-boundaries (shadow edges seen by indirect rays) and analytic-geometry
-silhouettes are not yet sampled — documented divergence from a full
+Scope: primary-visibility silhouettes (camera edges) AND
+secondary-bounce boundaries (shadow / indirect-visibility edges seen
+from diffuse first-hit points — :func:`boundary_secondary_grad`,
+enabled via ``make_render_geo(..., secondary_viewpoints=M)``).
+Gradients w.r.t. mesh vertex positions and camera position/look_at.
+Analytic-geometry (cube/sphere) silhouettes and boundaries seen from
+specular chains are not sampled — documented divergence from a full
 Li-style estimator.
 
 The reference renderer is forward-only CUDA; this subsystem has no
@@ -258,6 +261,201 @@ def boundary_image_grad(
     return d_verts, d_cam
 
 
+def boundary_secondary_grad(
+    verts,
+    faces,
+    edges: MeshEdges,
+    scene_arrays,  # (geoms, materials, mesh_traced, kd_traced)
+    camera,
+    config: RenderConfig,
+    base_key,
+    iteration,
+    cot_image,  # [N_pixels, 3] cotangent of the radiance image
+    n_view: int = 1024,
+    samples_per_edge: int = 2,
+    delta: float = 0.02,
+) -> jax.Array:
+    """Secondary-bounce boundary term -> d_verts [V, 3].
+
+    For a pixel whose camera ray first hits a DIFFUSE surface at y, the
+    pixel value is I_p = albedo * INT L_i(y, w) cos(w)/pi dw (the
+    integrator's cosine sampling makes the pdf cancel exactly). Moving
+    a mesh vertex sweeps the mesh's silhouette AS SEEN FROM y across
+    direction space — a visibility discontinuity of L_i that interior
+    autodiff and the primary (camera-edge) estimator both report as
+    zero. This is the missing term for shadow and indirect-visibility
+    edges.
+
+    Estimator (the direction-sphere analogue of boundary_image_grad):
+
+    1. viewpoints: first hits of a stratified subset of M central
+       camera rays; only diffuse non-emissive hits contribute (specular
+       chains are out of scope — module docstring).
+    2. per (viewpoint, edge): silhouette = adjacent faces straddle y.
+    3. per edge sample X: w = dir(y -> X); drop samples occluded from y
+       or below the horizon. Crossing direction n_hat =
+       normalize(cross(w, B - A)) (tangent-plane normal of the
+       projected edge curve).
+    4. radiance probes L+- = trace_rays(y, normalize(w +- delta*n_hat))
+       at depth-1 with COMMON random numbers (pixel-keyed streams).
+    5. weight per sample: (L- - L+) . (cot[pixel] * albedo) * cos(w)/pi
+       * (projected edge arc length / K); gradient = d/dtheta of
+       sum(w_s * (w(X(theta), y) . n_hat_detached)) — only the edge
+       point's direction-space motion is differentiated, everything
+       else (viewpoint, radiances, classification) is detached, as the
+       estimator prescribes.
+
+    Viewpoints are an M-pixel stratified subsample weighted by N/M, so
+    the term is an unbiased Monte-Carlo estimate of the sum over all
+    pixels; M = the full pixel count makes the pixel sum exact.
+    """
+    from kdtreepathtraceroptimization_tpu.ops import bsdf as bsdf_ops
+    from kdtreepathtraceroptimization_tpu.render.integrator import (
+        intersect_scene, trace_rays,
+    )
+
+    geoms, materials, mesh_t, kd_t = scene_arrays
+    res_x = int(camera.resolution[0])
+    res_y = int(camera.resolution[1])
+    n_pix = res_x * res_y
+    E = edges.va.shape[0]
+    K = samples_per_edge
+    M = min(n_view, n_pix)
+    va = jnp.asarray(edges.va)
+    vb = jnp.asarray(edges.vb)
+    cam_pos = jnp.asarray(camera.position)
+    view = jnp.asarray(camera.view)
+    right = jnp.asarray(camera.right)
+    up = jnp.asarray(camera.up)
+    pl = jnp.asarray(camera.pixel_length)
+
+    # --- 1. viewpoints: stratified pixel lattice, central rays --------
+    stride = n_pix / M
+    off = jax.random.uniform(jax.random.fold_in(base_key, 0x5EC0), ())
+    pixel = jnp.clip(
+        ((jnp.arange(M, dtype=jnp.float32) + off) * stride).astype(jnp.int32),
+        0, n_pix - 1,
+    )
+    px = (pixel % res_x).astype(jnp.float32)
+    py = (pixel // res_x).astype(jnp.float32)
+    vdir = vm.normalize(
+        view[None, :]
+        + right[None, :] * (pl[0] * (px - res_x * 0.5))[:, None]
+        - up[None, :] * (pl[1] * (py - res_y * 0.5))[:, None]
+    )
+    vhit = intersect_scene(
+        jnp.broadcast_to(cam_pos, (M, 3)), vdir, geoms, materials,
+        mesh_t, kd_t, config,
+    )
+    vmat = bsdf_ops.gather_materials(materials, vhit.material_id)
+    is_diffuse = (
+        (vhit.t < BIG)
+        & (vmat.emittance <= 0.0)
+        & (vmat.has_reflective <= 0.0)
+        & (vmat.has_refractive <= 0.0)
+    )
+    y = jax.lax.stop_gradient(vhit.point)                    # [M, 3]
+    nrm_y = jax.lax.stop_gradient(vhit.normal)
+    albedo = jax.lax.stop_gradient(vmat.color)               # [M, 3]
+
+    # --- 2. silhouette per (viewpoint, edge) --------------------------
+    fn, v0f = _face_normals(jax.lax.stop_gradient(verts), faces)
+    # front[m, f] = face f faces viewpoint m
+    front = jnp.einsum("fk,mfk->mf", fn, y[:, None, :] - v0f[None, :, :]) > 0
+    fa_front = front[:, edges.fa]                            # [M, E]
+    has_b = (edges.fb >= 0)[None, :]
+    fb_front = jnp.where(has_b, front[:, jnp.maximum(edges.fb, 0)], False)
+    sil = jnp.where(has_b, fa_front != fb_front, fa_front)   # [M, E]
+
+    # --- 3. edge samples + geometry -----------------------------------
+    s = (jnp.arange(K, dtype=jnp.float32)[None, :] + 0.5) / K
+    A = verts[va]                                            # [E, 3]
+    B = verts[vb]
+    X = A[:, None, :] * (1.0 - s)[..., None] + B[:, None, :] * s[..., None]
+    Xd = jax.lax.stop_gradient(X)                            # [E, K, 3]
+    eAB = jax.lax.stop_gradient(B - A)                       # [E, 3]
+
+    to_x = Xd[None, :, :, :] - y[:, None, None, :]           # [M, E, K, 3]
+    dist = vm.safe_norm(to_x.reshape(-1, 3)).reshape(M, E, K)
+    w_dir = to_x / dist[..., None]
+    cosw = jnp.einsum("mekc,mc->mek", w_dir, nrm_y)
+    # crossing direction (already unit-orthogonal to w)
+    n_hat = jnp.cross(w_dir, jnp.broadcast_to(
+        eAB[None, :, None, :], w_dir.shape))
+    n_len = vm.safe_norm(n_hat.reshape(-1, 3)).reshape(M, E, K)
+    n_hat = n_hat / n_len[..., None]
+    n_hat = jax.lax.stop_gradient(n_hat)
+    # projected arc length of the edge at this sample, per unit t:
+    # |P_perp(B - A)| / dist; P_perp(e) = e - (e.w)w and |w x e| is
+    # exactly |P_perp(e)|.
+    arc = n_len / jnp.maximum(dist, 1e-6)                    # [M, E, K]
+
+    alive = sil[:, :, None] & (cosw > 1e-4) & is_diffuse[:, None, None]
+
+    # --- occlusion: the edge point must be visible from y -------------
+    origin_probe = y + nrm_y * 1e-4                          # scatter's eps
+    R = M * E * K
+    occ = intersect_scene(
+        jnp.broadcast_to(origin_probe[:, None, None, :], (M, E, K, 3)
+                         ).reshape(R, 3),
+        w_dir.reshape(R, 3), geoms, materials, mesh_t, kd_t, config,
+        active=alive.reshape(R),
+    )
+    visible = occ.t.reshape(M, E, K) >= dist * (1.0 - 1e-3)
+    alive = alive & visible
+
+    # --- 4. radiance probes (CRN via pixel-keyed streams) -------------
+    pix_rep = jnp.broadcast_to(pixel[:, None, None], (M, E, K)).reshape(R)
+
+    def probe(sign):
+        d = vm.normalize(
+            (w_dir + sign * delta * n_hat).reshape(R, 3))
+        rays = RaySoA(
+            origin=jnp.broadcast_to(
+                origin_probe[:, None, None, :], (M, E, K, 3)).reshape(R, 3),
+            direction=d,
+            color=jnp.ones((R, 3), jnp.float32),
+            is_inside=jnp.zeros((R,), jnp.bool_),
+            sdepth=jnp.zeros((R,), jnp.float32),
+            pixel_index=pix_rep,  # same stream both sides: CRN
+            remaining_bounces=jnp.where(
+                alive.reshape(R),
+                jnp.full((R,), max(1, config.effective_depth - 1),
+                         jnp.int32),
+                0,
+            ),
+        )
+        return jax.lax.stop_gradient(
+            trace_rays(rays, geoms, materials, mesh_t, kd_t, config,
+                       base_key, iteration)
+        ).reshape(M, E, K, 3)
+
+    L_plus = probe(+1.0)
+    L_minus = probe(-1.0)
+
+    cot = cot_image[pixel]                                   # [M, 3]
+    wgt = jnp.where(
+        alive[..., None],
+        (L_minus - L_plus) * (cot * albedo)[:, None, None, :],
+        0.0,
+    ).sum(-1)
+    inv_pi = 1.0 / jnp.pi
+    wgt = wgt * jnp.maximum(cosw, 0.0) * inv_pi * arc / K
+    wgt = jax.lax.stop_gradient(wgt) * (n_pix / M)           # [M, E, K]
+
+    # --- 5. differentiate the direction-space motion ------------------
+    def edge_dir_dot(verts_in):
+        A = verts_in[va]
+        B = verts_in[vb]
+        X = (A[:, None, :] * (1.0 - s)[..., None]
+             + B[:, None, :] * s[..., None])                 # [E, K, 3]
+        to_x = X[None, :, :, :] - y[:, None, None, :]
+        w = to_x / vm.safe_norm(to_x.reshape(-1, 3)).reshape(M, E, K)[..., None]
+        return jnp.sum(jnp.einsum("mekc,mekc->mek", w, n_hat) * wgt)
+
+    return jax.grad(edge_dir_dot)(verts)
+
+
 def retris(kd, verts, faces):
     """Re-express the KD leaf triangle arrays as traced gathers of the
     SOURCE vertex array, so interior gradients flow to vertices while
@@ -288,9 +486,16 @@ def retris(kd, verts, faces):
 
 
 def make_render_geo(scene, verts0, faces, config: RenderConfig,
-                    samples_per_edge: int = 4, delta: float = 0.3):
+                    samples_per_edge: int = 4, delta: float = 0.3,
+                    secondary_viewpoints: int = 0,
+                    secondary_delta: float = 0.02):
     """Build ``render_geo(verts, cam_pos, key, iteration) -> image`` whose
     VJP = interior autodiff + the edge-sampled boundary term.
+
+    ``secondary_viewpoints`` > 0 additionally samples SECONDARY
+    visibility boundaries (shadow / indirect edges seen from that many
+    diffuse first-hit viewpoints — :func:`boundary_secondary_grad`);
+    0 keeps the round-3 primary-only estimator.
 
     The KD topology is built once from ``verts0`` and kept fixed; vertex
     motion large enough to invalidate it requires a rebuild (standard
@@ -340,6 +545,16 @@ def make_render_geo(scene, verts0, faces, config: RenderConfig,
             config, key, iteration, cot,
             samples_per_edge=samples_per_edge, delta=delta,
         )
+        if secondary_viewpoints > 0:
+            bv = bv + boundary_secondary_grad(
+                verts, faces_j, edges,
+                (geoms, materials, jax.lax.stop_gradient(mesh_t), kd_t),
+                camera._replace(position=jax.lax.stop_gradient(cam_pos)),
+                config, key, iteration, cot,
+                n_view=secondary_viewpoints,
+                samples_per_edge=samples_per_edge,
+                delta=secondary_delta,
+            )
         return d_verts + bv, d_cam + bc, None, None
 
     render_geo.defvjp(fwd, bwd)

@@ -48,6 +48,7 @@ from kdtreepathtraceroptimization_tpu.ops import mxu_bf
 from kdtreepathtraceroptimization_tpu.ops import walk as wk
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
 from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
+from kdtreepathtraceroptimization_tpu.parallel.ctx import constrain as _sc
 
 # second-pass window depth and compaction buffer (see module docstring).
 # Tuned on the cornell+dragon diffuse wave (exp/pairs_stats.py):
@@ -113,15 +114,64 @@ def _extract_math(x, slab, blk, kp, F):
     return jnp.concatenate(ids, axis=1), lb_over, count
 
 
-def _extract_kernel(x_ref, slab_ref, blk_ref, ids_ref, lbov_ref, cnt_ref,
-                    *, kp, tile, F):
-    sub = tile // 8
-    for m in range(8):
-        x = x_ref[m * sub:(m + 1) * sub, :]
-        ids, lbov, cnt = _extract_math(x, slab_ref[:, :], blk_ref, kp, F)
-        ids_ref[m * sub:(m + 1) * sub, :] = ids
-        lbov_ref[m * sub:(m + 1) * sub, :] = lbov
-        cnt_ref[m * sub:(m + 1) * sub, :] = cnt
+def _extract_kernel_t(xt_ref, slabt_ref, blkt_ref, ids_ref, lbov_ref,
+                      cnt_ref, *, kp, tl, F):
+    """TRANSPOSED extraction: rays on LANES (tl wide), blocks on
+    sublanes [kp, tl]. The row-major form was measured 15 ms/bounce in
+    selection alone at dragon scale: each of its F+1 elimination
+    rounds broadcasts the per-ray min [sub, 1] ACROSS LANES, the slow
+    VPU broadcast direction. Here every per-ray quantity is a [1, tl]
+    row (cheap sublane replication); the per-block tables are columns
+    materialized once. Values are bit-identical to _extract_math (same
+    f32 ops, order-insensitive min reductions)."""
+    import numpy as _np
+
+    xt = xt_ref[:, :]                                     # [16, tl]
+    t0 = xt[6:7, :]
+    act = xt[7:8, :] > 0.0
+    tmin = jnp.full((kp, tl), -BIG, jnp.float32)
+    tmax = jnp.full((kp, tl), BIG, jnp.float32)
+    for a in range(3):
+        invd = xt[8 + a:9 + a, :]                         # [1, tl]
+        oinv = xt[11 + a:12 + a, :]
+        lo = slabt_ref[:, a:a + 1]                        # [kp, 1]
+        hi = slabt_ref[:, 3 + a:4 + a]
+        tlo = lo * invd - oinv
+        thi = hi * invd - oinv
+        tmin = jnp.maximum(tmin, jnp.minimum(tlo, thi))
+        tmax = jnp.minimum(tmax, jnp.maximum(tlo, thi))
+    slack = 1e-6 * jnp.abs(tmin) + 1e-5
+    tmin = tmin - slack
+    tmax = tmax + slack
+    entry = jnp.maximum(tmin, 0.0)
+    feasible = (
+        (tmax >= entry)
+        & (tmax > 0.0)
+        & (entry < t0)
+        & act
+        & (blkt_ref[:, 5:6] >= 0.0)  # r2 >= 0: real block
+    )
+    entry = jnp.where(feasible, entry, BIG)
+    cnt_ref[0:1, :] = jnp.sum((entry < BIG).astype(jnp.int32), axis=0,
+                              keepdims=True)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (kp, tl), 0)
+    lowmask = jnp.int32((1 << _IDX_BITS) - 1)
+    key = (jax.lax.bitcast_convert_type(entry, jnp.int32) & ~lowmask) | rows
+    big_key = jnp.int32(
+        int(_np.float32(BIG).view(_np.int32)) & ~((1 << _IDX_BITS) - 1)
+    )
+    dead = jnp.int32(0x7FFFFFFF)
+    for f in range(F):
+        m = jnp.min(key, axis=0, keepdims=True)           # [1, tl]
+        ids_ref[f:f + 1, :] = jnp.where(m < big_key, m & lowmask,
+                                        jnp.int32(kp))
+        key = jnp.where(key == m, dead, key)
+    m = jnp.min(key, axis=0, keepdims=True)
+    lbov_ref[0:1, :] = jnp.where(
+        m < big_key,
+        jax.lax.bitcast_convert_type(m & ~lowmask, jnp.float32),
+        jnp.float32(BIG),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "F", "interpret"))
@@ -130,29 +180,38 @@ def _extract_pallas(x, slab, blk, tile: int, F: int, interpret: bool):
 
     n = x.shape[0]
     kp = blk.shape[1]
-    g = n // tile
-    kernel = functools.partial(_extract_kernel, kp=kp, tile=tile, F=F)
+    assert kp <= (1 << _IDX_BITS)
+    for tl in (512, 256, 128, 64, 32, 16, 8):  # ray lanes per grid cell
+        if n % tl == 0:
+            break
+    else:
+        raise ValueError(f"ray count {n} not a multiple of 8")
+    g = n // tl
+    xt = x.T                     # [16, n] — one fused XLA transpose
+    slabt = slab.T               # [kp, 8]
+    blkt = blk.T
+    kernel = functools.partial(_extract_kernel_t, kp=kp, tl=tl, F=F)
     ids, lbov, cnt = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((tile, 16), lambda i: (i, 0)),
-            pl.BlockSpec((8, kp), lambda i: (0, 0)),
-            pl.BlockSpec((8, kp), lambda i: (0, 0)),
+            pl.BlockSpec((16, tl), lambda i: (0, i)),
+            pl.BlockSpec((kp, 8), lambda i: (0, 0)),
+            pl.BlockSpec((kp, 8), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tile, F), lambda i: (i, 0)),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0)),
+            pl.BlockSpec((F, tl), lambda i: (0, i)),
+            pl.BlockSpec((1, tl), lambda i: (0, i)),
+            pl.BlockSpec((1, tl), lambda i: (0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, F), jnp.int32),
-            jax.ShapeDtypeStruct((n, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((F, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
         interpret=interpret,
-    )(x, slab, blk)
-    return ids, lbov.reshape(n), cnt.reshape(n)
+    )(xt, slabt, blkt)
+    return ids.T, lbov.reshape(n), cnt.reshape(n)
 
 
 def _extract_ref(x, slab, blk, F):
@@ -183,23 +242,27 @@ def _feat16(od):
     return jnp.concatenate([o3, d3, m, one, z], axis=1) * one
 
 
-def _pair_runs_kernel(blk3_ref, blkcol_ref, od_ref, w_hbm, t_ref, loc_ref,
-                      wbuf, sem, *, block, ptile, kreal):
+def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, od_ref, w1_ref, w_hbm,
+                      t_ref, loc_ref, wbuf, sem, *, block, ptile, kreal):
     """Per sorted-pair tile: walk the tile's block RUNS.
 
     The global block-id sort leaves each tile's pairs grouped into a
     few contiguous same-block runs (mean ~1.1: mean pairs/block far
     exceeds the tile size, so most tiles are one run plus at most one
-    boundary split). A while_loop walks the runs: each round DMAs the
-    run's [16, 4B] Moller-Trumbore weight block (prefetching the next
-    run's behind the matmul — the ops/walk.py double-buffer pattern),
-    one MXU round over the WHOLE tile, and a row-range select merges
-    the run's rows. This replaces the round-3 mono-block layout whose
-    per-block tile alignment needed a scatter+cummax align chain and a
-    sentinel-padded [P + (K+1)*ptile] slot array — the runs layout
-    works directly on the dense sorted order. Sentinel pairs
-    (id >= kreal) sort to the global tail; their rows keep the BIG/0
-    initialization and the loop stops at the first sentinel run."""
+    boundary split). The FIRST run's [16, 4B] Moller-Trumbore weight
+    block arrives through a scalar-prefetched BlockSpec (``w1_ref``,
+    indexed by the per-tile first block id), which Pallas pipelines
+    across grid cells — the common 1-run tile exposes NO weight-DMA
+    latency at all (a manual warm-up DMA inside the cell measured
+    ~2.4x the matmul floor). Runs past the first use the ops/walk.py
+    manual double-buffer: their DMA is issued before the previous
+    run's matmul. Each round is one MXU pass over the WHOLE tile with
+    a row-range merge. This replaces the round-3 mono-block layout
+    whose per-block alignment needed a scatter+cummax chain over a
+    sentinel-padded [P + (K+1)*ptile] slot array — runs work directly
+    on the dense sorted order. Sentinel pairs (id >= kreal) sort to
+    the global tail; their rows keep the BIG/0 initialization and the
+    loop stops at the first sentinel run."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -214,34 +277,9 @@ def _pair_runs_kernel(blk3_ref, blkcol_ref, od_ref, w_hbm, t_ref, loc_ref,
     def dma(slot, b):
         return pltpu.make_async_copy(w_hbm.at[b], wbuf.at[slot], sem.at[slot])
 
-    b0 = blk3_ref[0, 0, 0]
-
-    @pl.when(b0 < kreal)
-    def _():
-        dma(0, b0).start()
-
-    def cond(st):
-        r0, b, slot = st
-        return (r0 < ptile) & (b < kreal)
-
-    def body(st):
-        r0, b, slot = st
-        # sorted order -> the run of block b starting at r0 is
-        # contiguous; its length is a single VPU count.
-        cnt = jnp.sum(((blkcol == b) & (rows >= r0)).astype(jnp.int32))
-        r1 = r0 + cnt
-        b_next = blk3_ref[0, 0, jnp.minimum(r1, ptile - 1)]
-
-        # The prefetch predicate equals cond() of the next state, so
-        # every started DMA is waited by exactly one later round — no
-        # drain pass is needed.
-        @pl.when((r1 < ptile) & (b_next < kreal))
-        def _():
-            dma(1 - slot, b_next).start()
-
-        dma(slot, b).wait()
+    def round_(w_mat, r0, b, r1):
         prod = jax.lax.dot_general(
-            feat, wbuf[slot],
+            feat, w_mat,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -251,9 +289,48 @@ def _pair_runs_kernel(blk3_ref, blkcol_ref, od_ref, w_hbm, t_ref, loc_ref,
         in_run = (rows >= r0) & (rows < r1)
         t_ref[:, :] = jnp.where(in_run, tmin, t_ref[:, :])
         loc_ref[:, :] = jnp.where(in_run, lmin, loc_ref[:, :])
+
+    def runlen(r0, b):
+        # sorted order -> the run of block b starting at r0 is
+        # contiguous; its length is a single VPU count.
+        return r0 + jnp.sum(((blkcol == b) & (rows >= r0)).astype(jnp.int32))
+
+    # ---- run 1 from the pipelined BlockSpec --------------------------
+    b0 = blk3_ref[0, 0, 0]
+    real0 = b0 < kreal
+    r1_0 = jnp.where(real0, runlen(0, b0), ptile)
+    b1 = blk3_ref[0, 0, jnp.minimum(r1_0, ptile - 1)]
+
+    # Prefetch run 2 BEFORE run 1's matmul. The predicate equals
+    # cond() of the loop's initial state, so every started DMA is
+    # waited by exactly one later round — no drain pass is needed.
+    @pl.when((r1_0 < ptile) & (b1 < kreal))
+    def _():
+        dma(0, b1).start()
+
+    @pl.when(real0)
+    def _():
+        round_(w1_ref[0], 0, b0, r1_0)
+
+    # ---- runs 2+ via manual double-buffer ----------------------------
+    def cond(st):
+        r0, b, slot = st
+        return (r0 < ptile) & (b < kreal)
+
+    def body(st):
+        r0, b, slot = st
+        r1 = runlen(r0, b)
+        b_next = blk3_ref[0, 0, jnp.minimum(r1, ptile - 1)]
+
+        @pl.when((r1 < ptile) & (b_next < kreal))
+        def _():
+            dma(1 - slot, b_next).start()
+
+        dma(slot, b).wait()
+        round_(wbuf[slot], r0, b, r1)
         return r1, b_next, 1 - slot
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), b0, jnp.int32(0)))
+    jax.lax.while_loop(cond, body, (r1_0, b1, jnp.int32(0)))
 
 
 @functools.partial(jax.jit, static_argnames=("block", "ptile", "kreal",
@@ -267,71 +344,87 @@ def _pair_runs_pallas(blk_s, od, w, block: int, ptile: int, kreal: int,
 
     s = od.shape[0]
     g = s // ptile
+    # per-tile first block id (clamped for indexing; realness is
+    # re-derived in-kernel from the SMEM copy)
+    tfirst = jnp.minimum(blk_s.reshape(g, ptile)[:, 0], kreal - 1)
     kernel = functools.partial(_pair_runs_kernel, block=block, ptile=ptile,
                                kreal=kreal)
-    t, loc = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # tfirst [g]
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 1, ptile), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, ptile), lambda i, tf: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((ptile, 1), lambda i: (i, 0)),
-            pl.BlockSpec((ptile, 8), lambda i: (i, 0)),
+            pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
+            pl.BlockSpec((ptile, 8), lambda i, tf: (i, 0)),
+            pl.BlockSpec((1, 16, 4 * block), lambda i, tf: (tf[i], 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((ptile, 1), lambda i: (i, 0)),
-            pl.BlockSpec((ptile, 1), lambda i: (i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((s, 1), jnp.float32),
-            jax.ShapeDtypeStruct((s, 1), jnp.int32),
+            pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
+            pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 16, 4 * block), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+    )
+    t, loc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, 1), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1), jnp.int32),
+        ],
         interpret=interpret,
-    )(blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), od, w)
+    )(tfirst, blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), od, w, w)
     return t.reshape(s), loc.reshape(s)
 
 
-def _pair_slots_ref(ids, od8, w, block, kreal, chunk: int = 4096):
+def _pair_slots_ref(ids, od8, w, block, kreal, shards: int = 1):
     """jnp mirror (CPU path / oracle): per-slot nearest (t, loc) in
     [n, F] slot order directly — no sorting, per-slot weight gather.
     Chunked with lax.map so the [chunk, 16, 4B] gathered weights stay
-    bounded at any wavefront size."""
+    bounded at any wavefront size; the chunk size divides the
+    per-shard row count so no chunk straddles a shard boundary (a
+    straddling chunk reshards every lax.map step under GSPMD)."""
     n, F = ids.shape
-    chunk = min(chunk, n)
-    pad = (-n) % chunk
-    if pad:
-        ids = jnp.concatenate(
-            [ids, jnp.full((pad, F), kreal, ids.dtype)])
-        od8 = jnp.concatenate([od8, jnp.zeros((pad, 8), od8.dtype)])
+    S = shards
+    m = n // S
+    chunk = 1
+    while chunk < 4096 and m % (chunk * 2) == 0:
+        chunk *= 2
 
     def one(args):
-        ids_c, od_c = args
-        feat = _feat16(od_c)
-        t0 = od_c[:, 6]
+        ids_c, od_c = args                                # [S, chunk, .]
+        feat = _sc(_feat16(od_c.reshape(-1, 8)).reshape(S, chunk, 16))
+        t0 = od_c[:, :, 6]
         ts, locs = [], []
         for f in range(F):
-            blk = ids_c[:, f]
+            blk = ids_c[:, :, f]
             ok = blk < kreal
-            wsel = w[jnp.where(ok, blk, 0)]               # [chunk, 16, 4B]
-            prod = jnp.einsum("nf,nfc->nc", feat, wsel)
-            t = mxu_bf._epilogue(prod, block, t0)
-            tmin = jnp.min(t, axis=1)
-            loc = jnp.argmin(t, axis=1).astype(jnp.int32)
+            wsel = w[jnp.where(ok, blk, 0)]               # [S, chunk, 16, 4B]
+            prod = jnp.einsum("scf,scfk->sck", feat, wsel)
+            t = mxu_bf._epilogue(prod.reshape(-1, 4 * block), block,
+                                 t0.reshape(-1)).reshape(S, chunk, block)
+            tmin = jnp.min(t, axis=2)
+            loc = jnp.argmin(t, axis=2).astype(jnp.int32)
             ts.append(jnp.where(ok, tmin, BIG))
             locs.append(jnp.where(ok, loc, 0))
-        return jnp.stack(ts, axis=1), jnp.stack(locs, axis=1)
+        return jnp.stack(ts, axis=2), jnp.stack(locs, axis=2)
 
-    t, loc = jax.lax.map(
-        one, (ids.reshape(-1, chunk, F), od8.reshape(-1, chunk, 8)))
-    return (t.reshape(n + pad, F)[:n], loc.reshape(n + pad, F)[:n])
+    # Scan over the CHUNK axis with the shard dim inside each element,
+    # so every scan step is shard-local (a chunk axis that interleaves
+    # shards makes each lax.map step all-gather its slice).
+    ids4 = _sc(ids.reshape(S, m // chunk, chunk, F)).transpose(1, 0, 2, 3)
+    od4 = _sc(od8.reshape(S, m // chunk, chunk, 8)).transpose(1, 0, 2, 3)
+    t, loc = jax.lax.map(one, (ids4, od4))                # [mc, S, chunk, F]
+    t = _sc(t.transpose(1, 0, 2, 3)).reshape(n, F)
+    loc = _sc(loc.transpose(1, 0, 2, 3)).reshape(n, F)
+    return t, loc
 
 
-def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret):
+def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret, shards=1):
     """Test every (ray, block) pair in ``ids`` [n, F]; return per-ray
     (t_best [n], tri_best [n]) over those pairs (BIG/-1 where none).
 
@@ -342,33 +435,53 @@ def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret):
     bits, pair index in a pow2 low field) groups pairs by block while
     carrying the inverse mapping for free; one row gather fetches the
     slot records; the runs kernel tests everything; one keyed sort
-    restores slot order. No alignment, no scatter."""
+    restores slot order. No alignment, no scatter.
+
+    ``shards`` > 1 makes every sort/gather SHARD-LOCAL: the ray axis is
+    viewed as [shards, n/shards] and sorts run along dimension 1, so a
+    ray-sharded GSPMD program (parallel/sharding.py) emits no
+    cross-chip all-to-all — each chip groups its own pairs. Per-pair
+    results are independent of grouping, so shard-local is
+    bit-identical to global."""
     n, F = ids.shape
     kp = cm.n_blocks
-    P = n * F
     block = cm.block
+    S = shards
+    m = n // S
+    Ps = m * F
+    Pp = -(-Ps // ptile) * ptile  # pad per-shard pairs to the grid tile
 
     if on_tpu:
-        assert P % ptile == 0, (P, ptile)
-        p2bits = (P - 1).bit_length()
-        iota = jnp.arange(P, dtype=jnp.int32)
+        p2bits = (Pp - 1).bit_length()
+        iota = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(jnp.int32, (S, Pp), 1), (S, Pp))
+        ids2 = ids.reshape(S, Ps)
+        if Pp != Ps:
+            ids2 = jnp.concatenate(
+                [ids2, jnp.full((S, Pp - Ps), kp, jnp.int32)], axis=1)
+        ids2 = _sc(ids2)
         if (kp + 1) << p2bits < 2 ** 31:
-            keys = (ids.reshape(P) << p2bits) | iota
-            keys_s = jax.lax.sort(keys)
+            keys_s = _sc(jax.lax.sort((ids2 << p2bits) | iota, dimension=1))
             src = keys_s & ((1 << p2bits) - 1)
             blk_s = keys_s >> p2bits
         else:  # key would overflow i32: fall back to a 2-operand sort
-            blk_s, src = jax.lax.sort((ids.reshape(P), iota), num_keys=1)
-        od = od8[src // F]
-        t_s, loc_s = _pair_runs_pallas(blk_s, od, cm.w, block, ptile,
-                                       kreal, interpret)
-        # back to [n, F] slot order: one keyed sort (src is a
-        # permutation of [0, P), so this is exact and dense)
-        _, t_p, loc_p = jax.lax.sort((src, t_s, loc_s), num_keys=1)
-        t_p = t_p.reshape(n, F)
-        loc_p = loc_p.reshape(n, F)
+            blk_s, src = jax.lax.sort((ids2, iota), num_keys=1, dimension=1)
+            blk_s, src = _sc(blk_s), _sc(src)
+        ray = jnp.minimum(src // F, m - 1)  # pad slots: any row (sentinel)
+        od = _take_rows(od8.reshape(S, m, 8), ray)           # [S, Pp, 8]
+        t_s, loc_s = _pair_runs_pallas(
+            blk_s.reshape(S * Pp), od.reshape(S * Pp, 8), cm.w, block,
+            ptile, kreal, interpret)
+        # back to [n, F] slot order: one keyed sort (src is a row-local
+        # permutation of [0, Pp) with the pad tail sorting last)
+        _, t_p, loc_p = jax.lax.sort(
+            (src, _sc(t_s.reshape(S, Pp)), _sc(loc_s.reshape(S, Pp))),
+            num_keys=1, dimension=1)
+        t_p = _sc(t_p)[:, :Ps].reshape(n, F)
+        loc_p = _sc(loc_p)[:, :Ps].reshape(n, F)
     else:
-        t_p, loc_p = _pair_slots_ref(ids, od8, cm.w, block, kreal)
+        t_p, loc_p = _pair_slots_ref(ids, od8, cm.w, block, kreal,
+                                     shards=S)
 
     # Winner select by first-true mask, not argmin + take_along_axis:
     # per-lane gathers over a tiny axis serialize on TPU (the same
@@ -387,6 +500,58 @@ def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret):
 # ---------------------------------------------------------------------------
 
 
+def _rowsort_compact(todo, mbuf):
+    """Row-local flagged-first compaction: todo [S, ns] bool ->
+    (pos_full [S, ns] flagged-first column permutation — slots
+    [:mbuf] are the compaction buffer — and live [S, mbuf])."""
+    S, ns = todo.shape
+    iota = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (S, ns), 1), (S, ns))
+    _, pos_full = jax.lax.sort(
+        ((~todo).astype(jnp.int32), iota), num_keys=1, dimension=1)
+    nr = jnp.sum(todo.astype(jnp.int32), axis=1)
+    live = jax.lax.broadcasted_iota(
+        jnp.int32, (S, mbuf), 1) < jnp.minimum(nr, mbuf)[:, None]
+    return _sc(pos_full), _sc(live)
+
+
+def _scatter_back(pos_full, updates, olds):
+    """Write compacted updates back to their source columns WITHOUT a
+    scatter: values for the untouched tail are gathered, and one
+    multi-operand rank-restore sort (keys = pos_full) lands every
+    column at its original position. XLA's SPMD partitioner handles
+    dimension-1 sorts and batched gathers shard-locally but
+    all-gathers scatters (measured on the compiled sharded module), so
+    this is both the fast and the collective-free form.
+
+    updates: list of [S, mbuf] values for columns pos_full[:, :mbuf];
+    olds: matching list of [S, ns] arrays. Returns the updated arrays.
+    """
+    mbuf = updates[0].shape[1]
+    vals = []
+    casts = []
+    for old, upd in zip(olds, updates):
+        cast = old.dtype == jnp.bool_
+        casts.append(cast)
+        tail = _take_rows(old, pos_full[:, mbuf:])
+        v = jnp.concatenate([upd, tail], axis=1)
+        vals.append(v.astype(jnp.int32) if cast else v)
+    out = jax.lax.sort((pos_full, *vals), num_keys=1, dimension=1)
+    return tuple(
+        _sc(o.astype(jnp.bool_) if cast else o)
+        for o, cast in zip(out[1:], casts)
+    )
+
+
+def _take_rows(a, pos):
+    """Row-local gather a[s, pos[s]] via take_along_axis. The batched
+    gather partitions shard-locally under GSPMD; the advanced-index
+    form a[rows, pos] all-gathers the operand (measured in the
+    compiled sharded module) AND lowers slower single-device."""
+    idx = pos.reshape(pos.shape + (1,) * (a.ndim - 2))
+    return _sc(jnp.take_along_axis(_sc(a), idx, axis=1))
+
+
 def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
                          t_init=None, active=None,
                          interpret: bool = False,
@@ -396,6 +561,13 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     See module docstring for the three-pass proof structure.
     ``max_passes`` < 3 truncates the proof chain — measurement use only
     (results are then exact only for proven rays).
+
+    With ``config.binned_shards`` = S > 1 every data-movement stage
+    (narrowing compaction, pair grouping, result un-sort, repair
+    compaction) is row-local on a [S, n/S] view of the ray axis, so a
+    ray-sharded GSPMD program emits no cross-chip all-to-all or
+    all-gather in the forward intersector (the while_loop stop tests
+    are scalar all-reduces). Results are bit-identical to S=1.
     """
     n = origin.shape[0]
     tile = config.cluster_tile
@@ -409,13 +581,16 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
     act = jnp.ones((n,), bool) if active is None else active
 
-    pad = (-n) % tile
+    S = max(1, int(getattr(config, "binned_shards", 1)))
+    quant = tile * S
+    pad = (-n) % quant
     if pad:
         origin = jnp.concatenate([origin, jnp.zeros((pad, 3), jnp.float32)])
         direction = jnp.concatenate([direction, jnp.zeros((pad, 3), jnp.float32)])
         t0 = jnp.concatenate([t0, jnp.zeros((pad,), jnp.float32)])
         act = jnp.concatenate([act, jnp.zeros((pad,), bool)])
     npad = origin.shape[0]
+    ns = npad // S
 
     direction = jnp.where(act[:, None], direction, 0.0)
     actf = act.astype(jnp.float32)
@@ -431,24 +606,25 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         ids, lbov, cnt = _extract_ref(x, cm.slab, cm.blk, F)
 
     od8 = x[:, :8]  # (o, d, t0, actf) slot record
+    od8v = _sc(od8.reshape(S, ns, 8))
+    idsv = _sc(ids.reshape(S, ns, F))
 
     # Wavefront narrowing: only rays with a nonempty feasible list
     # produce pairs — measured ~35% of a diffuse bounce wavefront on
     # cornell+dragon (exp/bin_stats2.py; dead lanes and analytic-only
     # rays are the rest). Rather than dragging every ray's F sentinel
-    # slots through the sort/align/gather/kernel chain, mesh-active
-    # rays are compacted into a half-size buffer; a while_loop covers
+    # slots through the sort/gather/kernel chain, mesh-active rays are
+    # compacted into a half-size PER-SHARD buffer; a while_loop covers
     # the rare wavefront with more actives than the buffer (primary
     # bounces), costing one extra round at half size. Per-ray results
     # are independent of batch composition, so this is bit-identical
-    # to the unnarrowed pass.
-    # m1 is ptile-aligned so m1 * F is always divisible by the pair
-    # tile, which _pair_pass's reshape(-1, ptile) and the Pallas grid
-    # require for every F (F=3 with a merely-64-aligned m1 crashed).
-    m1 = max(ptile, -(-npad // 2 // ptile) * ptile)
-    bt = t0
-    btri = jnp.full((npad,), -1, jnp.int32)
-    mesh_act = act & (cnt > 0)
+    # to the unnarrowed pass. (m1 is ptile-aligned where possible;
+    # _pair_pass pads its per-shard pair axis to the grid tile anyway,
+    # so any m1 <= ns is safe.)
+    m1 = min(ns, max(ptile, -(-ns // 2 // ptile) * ptile))
+    bt = _sc(t0.reshape(S, ns))
+    btri = _sc(jnp.full((S, ns), -1, jnp.int32))
+    mesh_act = _sc((act & (cnt > 0)).reshape(S, ns))
 
     def n1_cond(state):
         _, _, todo = state
@@ -456,20 +632,24 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
 
     def n1_body(state):
         bt, btri, todo = state
-        nr = jnp.sum(todo.astype(jnp.int32))
-        iota = jnp.arange(npad, dtype=jnp.int32)
-        _, pos = jax.lax.sort(((~todo).astype(jnp.int32), iota), num_keys=1)
-        pos = pos[:m1]
-        live = jnp.arange(m1, dtype=jnp.int32) < jnp.minimum(nr, m1)
-        ids_c = jnp.where(live[:, None], ids[pos], jnp.int32(kp))
-        od8_c = od8[pos] * live.astype(jnp.float32)[:, None]
-        t1, tri1 = _pair_pass(ids_c, od8_c, cm, ptile, kreal, on_tpu,
-                              interpret)
-        bt_pos = bt[pos]
+        pos_full, live = _rowsort_compact(todo, m1)
+        pos = pos_full[:, :m1]
+        ids_c = jnp.where(live[:, :, None], _take_rows(idsv, pos),
+                          jnp.int32(kp))
+        od8_c = _take_rows(od8v, pos) * live.astype(jnp.float32)[:, :, None]
+        t1, tri1 = _pair_pass(ids_c.reshape(S * m1, F),
+                              od8_c.reshape(S * m1, 8),
+                              cm, ptile, kreal, on_tpu, interpret, shards=S)
+        t1 = t1.reshape(S, m1)
+        tri1 = tri1.reshape(S, m1)
+        bt_pos = _take_rows(bt, pos)
         upd = live & (t1 <= bt_pos)
-        bt = bt.at[pos].set(jnp.where(upd, t1, bt_pos))
-        btri = btri.at[pos].set(jnp.where(upd, tri1, btri[pos]))
-        todo = todo.at[pos].set(jnp.where(live, False, todo[pos]))
+        bt, btri, todo = _scatter_back(
+            pos_full,
+            [jnp.where(upd, t1, bt_pos),
+             jnp.where(upd, tri1, _take_rows(btri, pos)),
+             jnp.where(live, False, _take_rows(todo, pos))],
+            [bt, btri, todo])
         return bt, btri, todo
 
     bt, btri, _ = jax.lax.while_loop(
@@ -478,15 +658,18 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
 
     # proof: every untested block's entry >= lb_over; a ray whose best
     # t (or analytic bound) is <= lb_over cannot be beaten.
-    unproven = act & (lbov < bt) & (cnt > F)
+    lbovv = _sc(lbov.reshape(S, ns))
+    cntv = _sc(cnt.reshape(S, ns))
+    unproven = _sc(act.reshape(S, ns) & (lbovv < bt) & (cntv > F))
 
     # pass 2: deeper window (slots F..F2) on the compacted unproven
-    # set, LOOPED over a fixed buffer — a single oversized shot either
-    # wasted lanes (unproven is usually far below the buffer) or
-    # spilled rays into the much slower exhaustive walk when a bounce
-    # overflowed it. Rays still unproven after their window accumulate
-    # in ``hard`` for pass 3.
-    m2 = min(REPAIR_LANES, npad)
+    # set, LOOPED over a fixed per-shard buffer — a single oversized
+    # shot either wasted lanes (unproven is usually far below the
+    # buffer) or spilled rays into the much slower exhaustive walk when
+    # a bounce overflowed it. Rays still unproven after their window
+    # accumulate in ``hard`` for pass 3.
+    m2 = min(REPAIR_LANES, ns)
+    xv = _sc(x.reshape(S, ns, 16))
 
     def p2_cond(state):
         _, _, todo2, _ = state
@@ -494,49 +677,51 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
 
     def p2_body(state):
         bt, btri, todo2, hard = state
-        nr = jnp.sum(todo2.astype(jnp.int32))
-        iota = jnp.arange(npad, dtype=jnp.int32)
-        _, pos = jax.lax.sort(
-            ((~todo2).astype(jnp.int32), iota), num_keys=1
-        )
-        pos = pos[:m2]
-        live = jnp.arange(m2, dtype=jnp.int32) < jnp.minimum(nr, m2)
+        pos_full, live = _rowsort_compact(todo2, m2)
+        pos = pos_full[:, :m2]
         livef = live.astype(jnp.float32)
-        x2 = x[pos]
+        x2 = _take_rows(xv, pos)                           # [S, m2, 16]
         # extraction keeps the ORIGINAL t0 mask so the first F ids
         # reproduce pass 1's exactly (deterministic ties) and slots
         # F..F2 are precisely the untested continuation.
-        x2 = x2.at[:, 7].set(x2[:, 7] * livef)
-        x2 = x2.at[:, 3:6].mul(livef[:, None])
+        x2 = x2.at[:, :, 7].set(x2[:, :, 7] * livef)
+        x2 = x2.at[:, :, 3:6].mul(livef[:, :, None])
+        x2f = x2.reshape(S * m2, 16)
         if on_tpu:
-            ids2, lbov2, cnt2 = _extract_pallas(x2, cm.slab, cm.blk,
+            ids2, lbov2, cnt2 = _extract_pallas(x2f, cm.slab, cm.blk,
                                                 min(tile, m2), F2, interpret)
         else:
-            ids2, lbov2, cnt2 = _extract_ref(x2, cm.slab, cm.blk, F2)
+            ids2, lbov2, cnt2 = _extract_ref(x2f, cm.slab, cm.blk, F2)
         ids2 = ids2[:, F:]
-        bt2g = jnp.where(live, bt[pos], 0.0)
-        od2 = x2[:, :8].at[:, 6].set(bt2g)  # epilogue bound = current best
+        bt2g = jnp.where(live, _take_rows(bt, pos), 0.0)
+        od2 = x2f[:, :8].at[:, 6].set(bt2g.reshape(S * m2))
         t2, tri2 = _pair_pass(ids2, od2, cm, ptile, kreal, on_tpu,
-                              interpret)
+                              interpret, shards=S)
+        t2 = t2.reshape(S, m2)
+        tri2 = tri2.reshape(S, m2)
         upd = live & (t2 < bt2g)
-        bt = bt.at[pos].set(jnp.where(upd, t2, bt[pos]))
-        btri = btri.at[pos].set(jnp.where(upd, tri2, btri[pos]))
-        still = live & (lbov2[:m2] < jnp.where(upd, t2, bt2g)) & (cnt2 > F2)
-        hard = hard.at[pos].set(still | hard[pos])
-        todo2 = todo2.at[pos].set(jnp.where(live, False, todo2[pos]))
+        still = (live & (lbov2.reshape(S, m2) < jnp.where(upd, t2, bt2g))
+                 & (cnt2.reshape(S, m2) > F2))
+        bt, btri, todo2, hard = _scatter_back(
+            pos_full,
+            [jnp.where(upd, t2, _take_rows(bt, pos)),
+             jnp.where(upd, tri2, _take_rows(btri, pos)),
+             jnp.where(live, False, _take_rows(todo2, pos)),
+             still | _take_rows(hard, pos)],
+            [bt, btri, todo2, hard])
         return bt, btri, todo2, hard
 
     if max_passes >= 2:
         bt, btri, _, unproven = jax.lax.while_loop(
             p2_cond, p2_body,
-            (bt, btri, unproven, jnp.zeros((npad,), bool)),
+            (bt, btri, unproven, jnp.zeros((S, ns), bool)),
         )
 
     # pass 3 (residual tail, ~never): exhaustive walk over a small
-    # buffer, LOOPED until every unproven ray has been walked — the
-    # walk covers a ray's full feasible list, so each iteration proves
-    # its whole buffer and the loop strictly shrinks.
-    m3 = min(WALK_LANES, npad)
+    # per-shard buffer, LOOPED until every unproven ray has been
+    # walked — the walk covers a ray's full feasible list, so each
+    # iteration proves its whole buffer and the loop strictly shrinks.
+    m3 = min(WALK_LANES, ns)
     tile3 = min(tile, m3)
 
     def p3_cond(state):
@@ -545,44 +730,47 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
 
     def p3_body(state):
         bt, btri, unproven = state
-        n3 = jnp.sum(unproven.astype(jnp.int32))
-        iota = jnp.arange(npad, dtype=jnp.int32)
-        _, pos = jax.lax.sort(
-            ((~unproven).astype(jnp.int32), iota), num_keys=1
-        )
-        pos = pos[:m3]
-        live = jnp.arange(m3, dtype=jnp.int32) < jnp.minimum(n3, m3)
+        pos_full, live = _rowsort_compact(unproven, m3)
+        pos = pos_full[:, :m3]
         livef = live.astype(jnp.float32)
-        x3 = x[pos]
-        x3 = x3.at[:, 6].set(jnp.where(live, bt[pos], 0.0))
-        x3 = x3.at[:, 7].set(x3[:, 7] * livef)
-        x3 = x3.at[:, 3:6].mul(livef[:, None])
+        x3 = _take_rows(xv, pos)
+        x3 = x3.at[:, :, 6].set(jnp.where(live, _take_rows(bt, pos), 0.0))
+        x3 = x3.at[:, :, 7].set(x3[:, :, 7] * livef)
+        x3 = x3.at[:, :, 3:6].mul(livef[:, :, None])
+        x3f = x3.reshape(S * m3, 16)
         if on_tpu:
-            te = wk._slab_cull_pallas(x3, cm.slab, cm.blk, tile3, interpret)
+            te = wk._slab_cull_pallas(x3f, cm.slab, cm.blk, tile3, interpret)
         else:
-            te = wk._slab_cull_ref(x3, cm.slab, cm.blk, tile3)
+            te = wk._slab_cull_ref(x3f, cm.slab, cm.blk, tile3)
         sel, lb, nsel = wk._full_select(te)
-        r3 = mxu_bf.ray_features(x3[:, 0:3], x3[:, 3:6]) * livef[:, None]
-        r3 = jnp.concatenate([r3, jnp.zeros((m3, 6), jnp.float32)], axis=1)
-        t03 = x3[:, 6]
-        a3 = x3[:, 7]
+        r3 = mxu_bf.ray_features(x3f[:, 0:3], x3f[:, 3:6])
+        r3 = r3 * livef.reshape(S * m3)[:, None]
+        r3 = jnp.concatenate([r3, jnp.zeros((S * m3, 6), jnp.float32)],
+                             axis=1)
+        t03 = x3f[:, 6]
+        a3 = x3f[:, 7]
         if on_tpu:
             t3, tri3 = wk._walk_pallas(sel, lb, nsel, r3, t03, a3, cm.w,
                                        tile3, cm.block, interpret)
         else:
             t3, tri3 = wk._walk_ref(sel, lb, r3, t03, a3, cm.w, tile3,
                                     cm.block)
+        t3 = t3.reshape(S, m3)
+        tri3 = tri3.reshape(S, m3)
         upd = live & (tri3 >= 0)
-        bt = bt.at[pos].set(jnp.where(upd, t3, bt[pos]))
-        btri = btri.at[pos].set(jnp.where(upd, tri3, btri[pos]))
-        unproven = unproven.at[pos].set(jnp.where(live, False, unproven[pos]))
+        bt, btri, unproven = _scatter_back(
+            pos_full,
+            [jnp.where(upd, t3, _take_rows(bt, pos)),
+             jnp.where(upd, tri3, _take_rows(btri, pos)),
+             jnp.where(live, False, _take_rows(unproven, pos))],
+            [bt, btri, unproven])
         return bt, btri, unproven
 
     if max_passes >= 3:
         bt, btri, _ = jax.lax.while_loop(p3_cond, p3_body,
                                          (bt, btri, unproven))
 
-    bt, btri = bt[:n], btri[:n]
+    bt, btri = bt.reshape(npad)[:n], btri.reshape(npad)[:n]
     bt = jnp.where(btri >= 0, bt, BIG)
     zero = jnp.zeros((n,), jnp.float32)
     return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=zero, v=zero))

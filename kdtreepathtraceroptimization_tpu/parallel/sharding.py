@@ -84,10 +84,17 @@ def make_sharded_render_fn(scene, config: RenderConfig, mesh: Mesh):
         out_shardings=film_sharding,
     )
     def render_step(film, base_key, iteration):
-        radiance = trace_iteration(
-            geoms, materials, msh, kd, camera, config, base_key, iteration,
-            cmesh=cmesh,
-        )
+        from kdtreepathtraceroptimization_tpu.parallel import ctx
+
+        # Activate the ambient sharding context for the trace so the
+        # intersectors pin their [shards, n/shards] intermediates
+        # (see parallel/ctx.py — GSPMD otherwise all-gathers inside
+        # their while-loop bodies).
+        with ctx.active(mesh, mesh.axis_names[0]):
+            radiance = trace_iteration(
+                geoms, materials, msh, kd, camera, config, base_key,
+                iteration, cmesh=cmesh,
+            )
         return film + radiance
 
     return render_step

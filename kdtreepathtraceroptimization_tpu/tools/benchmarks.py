@@ -44,22 +44,54 @@ MODES = {
 }
 
 
-def _scene(res: int, subdiv: int):
-    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
-    from kdtreepathtraceroptimization_tpu.utils.procmesh import icosphere, write_obj
+DRAGON = "/root/reference/scenes/dragon.obj"
 
-    scene_path = os.path.join(
+
+def _cornell_path():
+    return os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "scenes",
         "cornell.txt",
     )
+
+
+def _scene(res: int, subdiv: int):
+    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
+    from kdtreepathtraceroptimization_tpu.utils.procmesh import icosphere, write_obj
+
     verts, faces = icosphere(subdiv, radius=2.5, center=(0.0, 3.0, 0.0))
     tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
     tmp.close()
     write_obj(tmp.name, verts, faces)
-    scene = load_scene(scene_path, obj_path=tmp.name)
+    scene = load_scene(_cornell_path(), obj_path=tmp.name)
     os.unlink(tmp.name)
     return with_resolution(scene, res, res), len(faces), len(verts)
+
+
+def _dragon_scene(res: int, n_faces: int):
+    """Cornell + the reference's dragon mesh subsampled to ~n_faces
+    (every k-th face, all vertices kept — a crude decimation that
+    preserves the perf-vs-triangle-count axis the sweep measures)."""
+    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
+
+    faces = []
+    vlines = []
+    with open(DRAGON) as f:
+        for line in f:
+            if line.startswith("v "):
+                vlines.append(line)
+            elif line.startswith("f "):
+                faces.append(line)
+    k = max(1, len(faces) // n_faces)
+    faces = faces[::k]
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    tmp.writelines(vlines)
+    tmp.writelines(faces)
+    tmp.close()
+    scene = load_scene(_cornell_path(), obj_path=tmp.name)
+    os.unlink(tmp.name)
+    return (with_resolution(scene, res, res), int(scene.mesh.v0.shape[0]),
+            len(vlines))
 
 
 def time_mode(scene, mode: str, res: int, iters: int, depth: int,
@@ -104,6 +136,10 @@ def main(argv=None) -> int:
                    help="icosphere subdivision levels (tris = 20*4^s)")
     p.add_argument("--modes", nargs="+", default=list(MODES),
                    choices=list(MODES))
+    p.add_argument("--dragon", type=int, nargs="*", default=None,
+                   help="extra rows: the reference dragon subsampled to "
+                        "these face counts (requires the reference mount)")
+    p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--json", default=None, help="also write results as JSON")
     args = p.parse_args(argv)
 
@@ -113,13 +149,22 @@ def main(argv=None) -> int:
     res = args.res or (800 if on_tpu else 200)
     subdivs = args.subdiv or ([2, 3, 4, 5] if on_tpu else [1, 2])
 
+    cases = [("icosphere", s) for s in subdivs]
+    if args.dragon is not None:
+        cases += [("dragon", nf) for nf in (args.dragon or [100000])]
+
     rows = []
     header = ["mesh (tris/verts)"] + [m for m in args.modes]
     print("  ".join(f"{h:>18}" for h in header))
-    for s in subdivs:
-        scene, n_tris, n_verts = _scene(res, s)
-        row = {"subdiv": s, "tris": n_tris, "verts": n_verts, "res": res,
-               "depth": args.depth, "ms": {}}
+    for kind, s in cases:
+        if kind == "dragon":
+            scene, n_tris, n_verts = _dragon_scene(res, s)
+            row = {"mesh": f"dragon_{s}", "tris": n_tris, "verts": n_verts,
+                   "res": res, "depth": args.depth, "ms": {}}
+        else:
+            scene, n_tris, n_verts = _scene(res, s)
+            row = {"subdiv": s, "tris": n_tris, "verts": n_verts, "res": res,
+                   "depth": args.depth, "ms": {}}
         cells = [f"{n_tris}/{n_verts}"]
         for mode in args.modes:
             # brute force past ~20k tris is the reference's crash row
@@ -128,7 +173,8 @@ def main(argv=None) -> int:
                 row["ms"][mode] = None
                 cells.append("skip")
                 continue
-            ms = time_mode(scene, mode, res, args.iters, args.depth)
+            ms = time_mode(scene, mode, res, args.iters, args.depth,
+                           repeats=args.repeats)
             row["ms"][mode] = round(ms, 2)
             cells.append(f"{ms:.1f}ms")
             print("  ".join(f"{c:>18}" for c in cells), end="\r", flush=True)

@@ -34,13 +34,13 @@ def _cornell_scene(res):
     return with_resolution(scene, res, res)
 
 
-def _mesh_scene(res):
+def _mesh_scene(res, subdiv=2):
     import tempfile
 
     from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
     from kdtreepathtraceroptimization_tpu.utils.procmesh import icosphere, write_obj
 
-    verts, faces = icosphere(2, radius=2.0, center=(0.0, 3.0, 0.0))
+    verts, faces = icosphere(subdiv, radius=2.0, center=(0.0, 3.0, 0.0))
     tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
     tmp.close()
     write_obj(tmp.name, verts, faces)
@@ -64,6 +64,15 @@ CASES = {
     "mesh_kd_48": (
         lambda: _mesh_scene(48),
         RenderConfig(trace_depth=4, enable_kd=True),
+        8,
+    ),
+    # The PRODUCTION pair-list path at mesh scale (5k tris): the golden
+    # fails if the pair pipeline's exactness chain (extraction -> runs
+    # kernel -> proof passes) regresses (VERDICT r3 item 7).
+    "mesh_pairs_48": (
+        lambda: _mesh_scene(48, subdiv=4),
+        RenderConfig(trace_depth=4, cluster=True, cluster_pairs=True,
+                     cluster_tile=256),
         8,
     ),
 }

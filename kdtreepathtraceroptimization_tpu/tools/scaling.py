@@ -1,17 +1,26 @@
-"""Scaling-efficiency harness (VERDICT r1 item 7; BASELINE.json asks
-for >=80% rays/s scaling 1 chip -> N).
+"""Scaling-efficiency harness (BASELINE.json asks for >=80% rays/s
+scaling 1 chip -> N; VERDICT r3 item 3 asks for an honest artifact).
 
-Measures the sharded render step (parallel/sharding.py) at 1/2/4/8
-devices on whatever platform is available and reports rays/s +
-efficiency vs the 1-device run scaled linearly.
+Measures the sharded render step (parallel/sharding.py) with the
+PRODUCTION pair-list intersector at 1/2/4/8 devices and reports, per
+device count:
 
-On this rig only ONE real TPU chip is reachable, so the committed
-artifact (SCALING_r02.json) is produced on 8 virtual CPU devices
-(``--xla_force_host_platform_device_count``): it validates that the
-sharded program partitions with zero forward communication and that
-per-device work actually drops 1/N (wall-clock efficiency on virtual
-devices also reflects real partitioning overheads, but NOT ICI — run
-the same tool on a pod slice for hardware numbers).
+- wall-clock rays/s. On this rig only ONE real TPU chip is reachable,
+  so the committed artifact runs on 8 VIRTUAL CPU devices
+  (``--xla_force_host_platform_device_count``). Virtual devices share
+  one host's cores: total host work is constant regardless of the
+  device count, so WALL-CLOCK cannot drop 1/N here even for a
+  perfectly partitioned program — wall efficiency on this artifact
+  measures only that sharding adds no overhead, not ICI scaling.
+- per-device FLOPs from the compiled partitioned module
+  (``compiled.cost_analysis()``): the direct test of "does per-device
+  work drop 1/N". ``work_efficiency`` = flops(1 dev) / (flops-per-dev
+  x N) — this is the headline scaling number a real pod would see on
+  the compute side, and it is independent of the shared-host artifact.
+- collective counts in the compiled module (all-gather / all-to-all /
+  all-reduce): the forward intersector must emit NO all-gather or
+  all-to-all (shard-local grouping — ops/pairs.py); the only expected
+  all-reduces are the scalar while_loop stop tests.
 
 Usage:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
@@ -26,8 +35,9 @@ import sys
 import time
 
 
-def run(res: int = 256, subdiv: int = 3, depth: int = 4, iters: int = 2,
-        device_counts=(1, 2, 4, 8), cluster: bool = True):
+def run(res: int = 256, subdiv: int = 5, depth: int = 4, iters: int = 2,
+        device_counts=(1, 2, 4, 8), mode: str = "pairs"):
+    import os
     import tempfile
 
     import jax
@@ -41,7 +51,6 @@ def run(res: int = 256, subdiv: int = 3, depth: int = 4, iters: int = 2,
         load_scene, with_resolution,
     )
     from kdtreepathtraceroptimization_tpu.utils.procmesh import icosphere, write_obj
-    import os
 
     scene_path = os.path.join(
         os.path.dirname(__file__), "..", "..", "scenes", "cornell.txt"
@@ -50,28 +59,36 @@ def run(res: int = 256, subdiv: int = 3, depth: int = 4, iters: int = 2,
     tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
     tmp.close()
     write_obj(tmp.name, verts, faces)
-    scene = with_resolution(load_scene(scene_path, obj_path=tmp.name), res, res)
+    scene = with_resolution(load_scene(scene_path, obj_path=tmp.name,
+                                       build_kd=(mode == "kd")), res, res)
 
     n = res * res
     rows = []
     for nd in device_counts:
         if nd > len(jax.devices()):
             break
-        # The walk intersector's per-bounce sort and compaction are
-        # SHARD-LOCAL (binned_shards rows, one per device) — the pairs
-        # path's global pair sort would force a cross-device exchange
-        # every bounce under GSPMD (measured 0.02x efficiency at 8
-        # devices), so scaling runs use the walk.
-        config = RenderConfig(trace_depth=depth, antialias=True,
-                              cluster=cluster, cluster_walk=True,
-                              cluster_pairs=False,
-                              cluster_tile=min(1024, n // nd // 2),
-                              binned_shards=nd)
+        kwargs = dict(trace_depth=depth, antialias=True,
+                      binned_shards=nd)
+        if mode == "pairs":
+            kwargs.update(cluster=True, cluster_pairs=True)
+        elif mode == "walk":
+            kwargs.update(cluster=True, cluster_walk=True,
+                          cluster_pairs=False,
+                          cluster_tile=min(1024, n // nd // 2))
+        config = RenderConfig(**kwargs)
         mesh = make_mesh(jax.devices()[:nd])
         step = make_sharded_render_fn(scene, config, mesh)
         key = jax.random.PRNGKey(0)
-        film = device_film(n, mesh)
-        film = step(film, key, jnp.int32(1))  # compile + warm
+        film0 = device_film(n, mesh)
+        compiled = step.lower(film0, key, jnp.int32(1)).compile()
+        hlo = compiled.as_text()
+        colls = {c: hlo.count(f"{c}(")
+                 for c in ("all-gather", "all-to-all", "all-reduce")}
+        cost = compiled.cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops_dev = float(cost.get("flops", float("nan")))
+
+        film = step(film0, key, jnp.int32(1))  # warm
         film.block_until_ready()
         best = float("inf")
         for rep in range(3):
@@ -83,22 +100,39 @@ def run(res: int = 256, subdiv: int = 3, depth: int = 4, iters: int = 2,
             best = min(best, (time.perf_counter() - t0) / iters)
         rays_s = n * depth / best
         rows.append({"devices": nd, "ms_per_iter": round(best * 1e3, 2),
-                     "rays_per_sec": round(rays_s, 1)})
-        print(f"devices={nd}: {best*1e3:8.2f} ms/iter {rays_s/1e6:7.2f} M rays/s",
-              flush=True)
+                     "rays_per_sec": round(rays_s, 1),
+                     "flops_per_device": flops_dev,
+                     "collectives": colls})
+        print(f"devices={nd}: {best*1e3:8.2f} ms/iter "
+              f"{rays_s/1e6:7.2f} M rays/s  "
+              f"flops/dev={flops_dev:.3g}  colls={colls}", flush=True)
 
     base = rows[0]["rays_per_sec"]
+    base_flops = rows[0]["flops_per_device"]
     for r in rows:
-        r["efficiency_vs_linear"] = round(
+        r["wall_efficiency_vs_linear"] = round(
             r["rays_per_sec"] / (base * r["devices"]), 3
+        )
+        r["work_efficiency"] = round(
+            base_flops / (r["flops_per_device"] * r["devices"]), 3
         )
     return {
         "platform": jax.default_backend(),
         "config": {"res": res, "tris": int(len(faces)), "depth": depth,
-                   "intersector": "walk" if cluster else "kd"},
-        "note": ("virtual CPU devices validate partitioning, not ICI; "
-                 "forward pass is communication-free by construction "
-                 "(rays sharded, scene replicated)"),
+                   "intersector": mode},
+        "note": (
+            "8 virtual CPU devices share ONE host's cores, so wall-clock "
+            "cannot drop 1/N here regardless of partition quality — "
+            "wall_efficiency_vs_linear on this artifact only bounds "
+            "sharding overhead. work_efficiency (per-device FLOPs from "
+            "the compiled partitioned module) is the real 1/N test and "
+            "the compute-side number a pod slice would see; real ICI "
+            "numbers require multi-chip hardware this rig does not have. "
+            "The forward module's collective counts are reported per row "
+            "(all-gather/all-to-all must be 0 for the intersector; "
+            "all-reduces are the scalar while_loop stop tests and the "
+            "film sum is sharded, not reduced)."
+        ),
         "rows": rows,
     }
 
@@ -107,12 +141,12 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--json", default=None, help="write artifact here")
     p.add_argument("--res", type=int, default=256)
-    p.add_argument("--subdiv", type=int, default=3)
+    p.add_argument("--subdiv", type=int, default=5)
     p.add_argument("--depth", type=int, default=4)
-    p.add_argument("--kd", action="store_true", help="KD walk instead of cluster")
+    p.add_argument("--mode", default="pairs", choices=["pairs", "walk", "kd"])
     args = p.parse_args(argv)
     out = run(res=args.res, subdiv=args.subdiv, depth=args.depth,
-              cluster=not args.kd)
+              mode=args.mode)
     line = json.dumps(out, indent=1)
     if args.json:
         with open(args.json, "w") as f:

@@ -50,7 +50,8 @@ def test_golden_regression(name):
 
 
 def test_cross_mode_golden_agreement():
-    """brute (VPU), brute (MXU), KD per-ray, KD packet: four independent
+    """brute (VPU), brute (MXU), KD per-ray, KD packet, and the three
+    cluster-family intersectors (pairs/walk/binned): seven independent
     intersectors within 1e-2 mean of each other on the mesh golden
     (BASELINE.json 'matching RGB within 1e-2'; the reference's de-facto
     test was diffing traversal modes, README.md:148-151)."""
@@ -58,8 +59,23 @@ def test_cross_mode_golden_agreement():
 
     scene = _mesh_scene(48)
     spp = 8
+    cbase = dict(trace_depth=4, cluster=True, cluster_tile=256)
     imgs = {
         "kd": np.asarray(render(scene, RenderConfig(trace_depth=4), spp=spp, seed=0)),
+        "pairs": np.asarray(
+            render(scene, RenderConfig(**cbase, cluster_pairs=True),
+                   spp=spp, seed=0)
+        ),
+        "walk": np.asarray(
+            render(scene, RenderConfig(**cbase, cluster_pairs=False,
+                                       cluster_walk=True),
+                   spp=spp, seed=0)
+        ),
+        "binned": np.asarray(
+            render(scene, RenderConfig(**cbase, cluster_pairs=False,
+                                       cluster_binned=True, binned_rounds=8),
+                   spp=spp, seed=0)
+        ),
         "kd_packet": np.asarray(
             render(scene, RenderConfig(trace_depth=4, packet_size=32), spp=spp, seed=0)
         ),

@@ -66,6 +66,48 @@ def test_sharded_train_step_runs(cornell_scene, eight_devices):
     assert state.materials.color.sharding.is_fully_replicated
 
 
+def test_pairs_sharded_matches_and_no_collectives(eight_devices):
+    """The PRODUCTION pair-list intersector under a ray-sharded GSPMD
+    program: (a) identical image to the unsharded shard_count=1 run,
+    (b) the compiled forward module contains no all-to-all or
+    all-gather (every grouping sort/gather/scatter is shard-local;
+    VERDICT r3 item 2)."""
+    import os
+    import tempfile
+
+    from kdtreepathtraceroptimization_tpu.render.integrator import render
+    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene
+    from kdtreepathtraceroptimization_tpu.utils.procmesh import icosphere, write_obj
+
+    verts, faces = icosphere(3, radius=2.5, center=(0.0, 3.0, 0.0))
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    tmp.close()
+    write_obj(tmp.name, verts, faces)
+    scene_path = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                              "cornell.txt")
+    scene = with_resolution(
+        load_scene(scene_path, obj_path=tmp.name, build_kd=False), 32, 32
+    )
+    mesh = make_mesh(eight_devices)
+    n = 32 * 32
+    base = dict(trace_depth=3, cluster=True, cluster_pairs=True,
+                cluster_tile=128)
+    cfg8 = RenderConfig(**base, binned_shards=8)
+
+    step = make_sharded_render_fn(scene, cfg8, mesh)
+    film0 = device_film(n, mesh)
+    hlo = step.lower(film0, jax.random.PRNGKey(0),
+                     jnp.int32(1)).compile().as_text()
+    open("/tmp/pairs_test.hlo", "w").write(hlo)
+    for coll in ("all-to-all", "all-gather"):
+        assert coll not in hlo, f"sharded pairs forward contains {coll}"
+
+    film_s = np.asarray(step(film0, jax.random.PRNGKey(0), jnp.int32(1)))
+    img1 = np.asarray(render(scene, RenderConfig(**base), spp=1, seed=0))
+    np.testing.assert_allclose(film_s.reshape(img1.shape), img1,
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_dryrun_multichip_entrypoint(eight_devices):
     import importlib.util
     import os
