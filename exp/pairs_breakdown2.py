@@ -23,6 +23,7 @@ scene, n_tris, label = _mesh_scene(800, None)
 cm = scene.cmesh
 config = RenderConfig(cluster=True, cluster_pairs=True)
 tile, F, ptile = config.cluster_tile, config.pair_slots, config.pair_tile
+ptile = int(os.environ.get("PTILE", ptile))
 kp = cm.n_blocks
 kreal = cm.n_real_blocks
 block = cm.block
@@ -56,13 +57,14 @@ def timeit(label, fn, init, reps=REPS):
 
 # --- extract ---------------------------------------------------------
 def extract(c):
-    ids, lbov, cnt = pr._extract_pallas(c, cm.slab, cm.blk, tile, F, False)
-    return c + 0.0 * lbov[:, None]
+    ids, lbov, cnt, feat = pr._extract_pallas(c, cm.slab, cm.blk, tile, F,
+                                              False)
+    return c + 0.0 * (lbov[:, None] + feat[:, :1])
 
 timeit("extract", extract, x)
 
-ids0, lbov0, cnt0 = pr._extract_pallas(x, cm.slab, cm.blk, tile, F, False)
-od8_full = x[:, :8]
+ids0, lbov0, cnt0, feat_full = pr._extract_pallas(x, cm.slab, cm.blk, tile,
+                                                  F, False)
 npad = n
 m1 = max(ptile, -(-npad // 2 // ptile) * ptile)
 print(f"mesh_act={int(jnp.sum(cnt0 > 0))} of {n}  m1={m1}", flush=True)
@@ -78,8 +80,8 @@ def narrow(c):
     nr = jnp.sum(todo.astype(jnp.int32))
     live = jnp.arange(m1, dtype=jnp.int32) < jnp.minimum(nr, m1)
     ids_c = jnp.where(live[:, None], ids0[pos], jnp.int32(kp))
-    od8_c = od8_full[pos] * live.astype(jnp.float32)[:, None]
-    return c + 0 * (ids_c[0, 0] + od8_c[0, 0].astype(jnp.int32))
+    ft_c = feat_full[pos] * live.astype(jnp.float32)[:, None]
+    return c + 0 * (ids_c[0, 0] + ft_c[0, 0].astype(jnp.int32))
 
 timeit("narrow_compact", narrow, cnt0)
 
@@ -89,7 +91,7 @@ pos = pos[:m1]
 nr = jnp.sum(todo.astype(jnp.int32))
 live = jnp.arange(m1, dtype=jnp.int32) < jnp.minimum(nr, m1)
 ids_c = jnp.where(live[:, None], ids0[pos], jnp.int32(kp))
-od8_c = od8_full[pos] * live.astype(jnp.float32)[:, None]
+ft_c = feat_full[pos] * live.astype(jnp.float32)[:, None]
 
 nn, FF = ids_c.shape
 P = nn * FF
@@ -111,38 +113,37 @@ src0 = keys_s0 & ((1 << p2bits) - 1)
 blk_s0 = keys_s0 >> p2bits
 
 
-# --- od gather -------------------------------------------------------
-def odg(c):
-    od = od8_c[c // FF]
-    return c + 0 * od[:, 0].astype(jnp.int32)
+# --- feat gather -----------------------------------------------------
+def ftg(c):
+    ft = ft_c[c // FF]
+    return c + 0 * ft[:, 0].astype(jnp.int32)
 
-timeit("od_gather", odg, src0)
+timeit("feat_gather", ftg, src0)
 
-od0 = od8_c[src0 // FF]
+feat0 = ft_c[src0 // FF]
 
 
 # --- runs kernel -----------------------------------------------------
 def kern(c):
-    t_s, loc_s = pr._pair_runs_pallas(blk_s0, c, cm.w, block, ptile,
-                                      kreal, False)
-    return c + 0 * t_s[:, None]
+    p_s = pr._pair_runs_pallas(blk_s0, c, cm.w, block, ptile,
+                               kreal, False)
+    return c + 0 * p_s[:, None].astype(jnp.float32)
 
-timeit("runs_kernel", kern, od0)
+timeit("runs_kernel", kern, feat0)
 
-t_s0, loc_s0 = pr._pair_runs_pallas(blk_s0, od0, cm.w, block, ptile,
-                                    kreal, False)
+p_s0 = pr._pair_runs_pallas(blk_s0, feat0, cm.w, block, ptile,
+                            kreal, False)
 
 
-# --- back-sort (3-op) ------------------------------------------------
+# --- back-sort (2-op packed) -----------------------------------------
 def backsort(c):
-    _, t_p, loc_p = jax.lax.sort((src0, c, loc_s0), num_keys=1)
-    return c + 0 * t_p
+    _, p_p = jax.lax.sort((src0, c), num_keys=1)
+    return c + 0 * p_p
 
-timeit("back_sort3", backsort, t_s0)
+timeit("back_sort2", backsort, p_s0)
 
-_, t_p0, loc_p0 = jax.lax.sort((src0, t_s0, loc_s0), num_keys=1)
-t_p0 = t_p0.reshape(nn, FF)
-loc_p0 = loc_p0.reshape(nn, FF)
+_, p_p0 = jax.lax.sort((src0, p_s0), num_keys=1)
+t_p0, loc_p0 = pr._unpack_tl(p_p0.reshape(nn, FF))
 
 
 # --- reduce ----------------------------------------------------------
@@ -163,7 +164,7 @@ def pp(c):
     t1, tri1 = pr._pair_pass(ids_c, c, cm, ptile, kreal, True, False)
     return c + 0 * t1[:, None]
 
-timeit("_pair_pass", pp, od8_c)
+timeit("_pair_pass", pp, ft_c)
 
 
 # --- composites: full public entry -----------------------------------

@@ -112,7 +112,7 @@ class RenderConfig:
     # Packet traversal (ops/traverse._fatrow_packet_tile): rays grouped
     # into packets of `packet_size` consecutive coherence-sorted lanes
     # sharing ONE traversal cursor + short stack. Grounded in the
-    # measured TPU cost model (exp/micro_gather.py): an in-loop row
+    # measured TPU cost model (exp/gather_micro.py): an in-loop row
     # gather costs a flat ~7 ns/lane regardless of width (pure issue
     # latency), so per-ray cursors pay 7 ns x steps/ray; packets cut the
     # gather to [n/P] lanes and turn AABB + inline Moller-Trumbore into

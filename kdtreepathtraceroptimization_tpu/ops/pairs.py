@@ -115,7 +115,7 @@ def _extract_math(x, slab, blk, kp, F):
 
 
 def _extract_kernel_t(xt_ref, slabt_ref, blkt_ref, ids_ref, lbov_ref,
-                      cnt_ref, *, kp, tl, F):
+                      cnt_ref, featt_ref, *, kp, tl, F):
     """TRANSPOSED extraction: rays on LANES (tl wide), blocks on
     sublanes [kp, tl]. The row-major form was measured 15 ms/bounce in
     selection alone at dragon scale: each of its F+1 elimination
@@ -172,6 +172,24 @@ def _extract_kernel_t(xt_ref, slabt_ref, blkt_ref, ids_ref, lbov_ref,
         jax.lax.bitcast_convert_type(m & ~lowmask, jnp.float32),
         jnp.float32(BIG),
     )
+    # MT feature rows (_feat16t layout, transposed): assembling these
+    # as [n, 16] column writes outside cost 4.8 ms/bounce at dragon
+    # scale (16-lane arrays run at 1/8th VPU width); here every row is
+    # a full-lane-width op on data already in VMEM.
+    actf = xt[7:8, :]
+    o = xt[0:3, :]
+    d = xt[3:6, :]
+    mx = o[1:2] * d[2:3] - o[2:3] * d[1:2]
+    my = o[2:3] * d[0:1] - o[0:1] * d[2:3]
+    mz = o[0:1] * d[1:2] - o[1:2] * d[0:1]
+    featt_ref[0:3, :] = o * actf
+    featt_ref[3:6, :] = d * actf
+    featt_ref[6:7, :] = mx * actf
+    featt_ref[7:8, :] = my * actf
+    featt_ref[8:9, :] = mz * actf
+    featt_ref[9:10, :] = actf
+    featt_ref[10:11, :] = t0
+    featt_ref[11:16, :] = jnp.zeros((5, tl), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "F", "interpret"))
@@ -191,7 +209,7 @@ def _extract_pallas(x, slab, blk, tile: int, F: int, interpret: bool):
     slabt = slab.T               # [kp, 8]
     blkt = blk.T
     kernel = functools.partial(_extract_kernel_t, kp=kp, tl=tl, F=F)
-    ids, lbov, cnt = pl.pallas_call(
+    ids, lbov, cnt, featt = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -203,22 +221,24 @@ def _extract_pallas(x, slab, blk, tile: int, F: int, interpret: bool):
             pl.BlockSpec((F, tl), lambda i: (0, i)),
             pl.BlockSpec((1, tl), lambda i: (0, i)),
             pl.BlockSpec((1, tl), lambda i: (0, i)),
+            pl.BlockSpec((16, tl), lambda i: (0, i)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((F, n), jnp.int32),
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((16, n), jnp.float32),
         ],
         interpret=interpret,
     )(xt, slabt, blkt)
-    return ids.T, lbov.reshape(n), cnt.reshape(n)
+    return ids.T, lbov.reshape(n), cnt.reshape(n), featt.T
 
 
 def _extract_ref(x, slab, blk, F):
     """jnp mirror (CPU path / oracle)."""
     kp = blk.shape[1]
     ids, lbov, cnt = _extract_math(x, slab, blk, kp, F)
-    return ids, lbov.reshape(-1), cnt.reshape(-1)
+    return ids, lbov.reshape(-1), cnt.reshape(-1), _feat16t(x[:, :8])
 
 
 # ---------------------------------------------------------------------------
@@ -242,8 +262,43 @@ def _feat16(od):
     return jnp.concatenate([o3, d3, m, one, z], axis=1) * one
 
 
-def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, od_ref, w1_ref, w_hbm,
-                      t_ref, loc_ref, wbuf, sem, *, block, ptile, kreal):
+def _feat16t(od):
+    """_feat16 with the per-pair epilogue bound t0 smuggled into column
+    10: the MT weight blocks pad rows 10-15 with zeros (cluster.py
+    build), so the matmul is unaffected and the kernel needs no second
+    (lane-thin) operand. Computed OUTSIDE the kernel: the cross
+    products on an 8-lane-wide [ptile, 8] block inside the kernel ran
+    at 1/16th VPU utilization and dominated the per-cell cost."""
+    f = _feat16(od)
+    return f.at[:, 10].set(od[:, 6])
+
+
+import numpy as _np_mod
+_LOC_BITS = 8          # loc-in-block bits packed into the low mantissa
+_PBIG = int(_np_mod.float32(BIG).view(_np_mod.int32)) & ~((1 << _LOC_BITS) - 1)
+
+
+def _pack_tl(t, loc):
+    """(t >= 0 f32, loc < 256 i32) -> ONE i32 whose order equals t's
+    (positive floats order as signed ints); the low 8 mantissa bits
+    carry loc. Truncation lowers t by <= 2^-15 relative — conservative
+    for the lb_over proof (a lowered best can only keep a ray
+    unproven), and the final hit t is recomputed exactly from the
+    winning triangle downstream (mesh.refine_tri_hit)."""
+    m = jnp.int32(~((1 << _LOC_BITS) - 1))
+    return (jax.lax.bitcast_convert_type(t, jnp.int32) & m) | loc
+
+
+def _unpack_tl(p):
+    """packed i32 -> (t f32 [exact BIG on miss], loc i32)."""
+    m = jnp.int32(~((1 << _LOC_BITS) - 1))
+    t = jax.lax.bitcast_convert_type(p & m, jnp.float32)
+    t = jnp.where(p >= jnp.int32(_PBIG), jnp.float32(BIG), t)
+    return t, p & ((1 << _LOC_BITS) - 1)
+
+
+def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, feat_ref, w1_ref, w_hbm,
+                      p_ref, wbuf, sem, *, block, ptile, kreal):
     """Per sorted-pair tile: walk the tile's block RUNS.
 
     The global block-id sort leaves each tile's pairs grouped into a
@@ -266,13 +321,11 @@ def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, od_ref, w1_ref, w_hbm,
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    t_ref[:, :] = jnp.full((ptile, 1), BIG, jnp.float32)
-    loc_ref[:, :] = jnp.zeros((ptile, 1), jnp.int32)
+    p_ref[:, :] = jnp.full((ptile, 1), _PBIG, jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (ptile, 1), 0)
     blkcol = blkcol_ref[:, :]
-    od = od_ref[:, :]
-    feat = _feat16(od)
-    t0col = od[:, 6:7]
+    feat = feat_ref[:, :]
+    t0col = feat[:, 10:11]  # _feat16t: epilogue bound in the zero-row col
 
     def dma(slot, b):
         return pltpu.make_async_copy(w_hbm.at[b], wbuf.at[slot], sem.at[slot])
@@ -287,8 +340,7 @@ def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, od_ref, w1_ref, w_hbm,
         tmin = jnp.min(t, axis=1, keepdims=True)
         lmin = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
         in_run = (rows >= r0) & (rows < r1)
-        t_ref[:, :] = jnp.where(in_run, tmin, t_ref[:, :])
-        loc_ref[:, :] = jnp.where(in_run, lmin, loc_ref[:, :])
+        p_ref[:, :] = jnp.where(in_run, _pack_tl(tmin, lmin), p_ref[:, :])
 
     def runlen(r0, b):
         # sorted order -> the run of block b starting at r0 is
@@ -335,14 +387,16 @@ def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, od_ref, w1_ref, w_hbm,
 
 @functools.partial(jax.jit, static_argnames=("block", "ptile", "kreal",
                                              "interpret"))
-def _pair_runs_pallas(blk_s, od, w, block: int, ptile: int, kreal: int,
+def _pair_runs_pallas(blk_s, feat, w, block: int, ptile: int, kreal: int,
                       interpret: bool):
-    """blk_s [P] i32 (block id per sorted pair, ascending), od [P, 8]
-    -> per-pair nearest (t [P], loc [P]) within its block."""
+    """blk_s [P] i32 (block id per sorted pair, ascending), feat
+    [P, 16] (_feat16t records) -> per-pair packed (t | loc) i32 [P]
+    (_pack_tl; _PBIG where the pair is sentinel/miss)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    s = od.shape[0]
+    assert block <= (1 << _LOC_BITS)
+    s = feat.shape[0]
     g = s // ptile
     # per-tile first block id (clamped for indexing; realness is
     # re-derived in-kernel from the SMEM copy)
@@ -356,32 +410,26 @@ def _pair_runs_pallas(blk_s, od, w, block: int, ptile: int, kreal: int,
             pl.BlockSpec((1, 1, ptile), lambda i, tf: (i, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
-            pl.BlockSpec((ptile, 8), lambda i, tf: (i, 0)),
+            pl.BlockSpec((ptile, 16), lambda i, tf: (i, 0)),
             pl.BlockSpec((1, 16, 4 * block), lambda i, tf: (tf[i], 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
-            pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
-        ],
+        out_specs=pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 16, 4 * block), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    t, loc = pl.pallas_call(
+    packed = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((s, 1), jnp.float32),
-            jax.ShapeDtypeStruct((s, 1), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((s, 1), jnp.int32),
         interpret=interpret,
-    )(tfirst, blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), od, w, w)
-    return t.reshape(s), loc.reshape(s)
+    )(tfirst, blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), feat, w, w)
+    return packed.reshape(s)
 
 
-def _pair_slots_ref(ids, od8, w, block, kreal, shards: int = 1):
+def _pair_slots_ref(ids, feat, w, block, kreal, shards: int = 1):
     """jnp mirror (CPU path / oracle): per-slot nearest (t, loc) in
     [n, F] slot order directly — no sorting, per-slot weight gather.
     Chunked with lax.map so the [chunk, 16, 4B] gathered weights stay
@@ -396,40 +444,42 @@ def _pair_slots_ref(ids, od8, w, block, kreal, shards: int = 1):
         chunk *= 2
 
     def one(args):
-        ids_c, od_c = args                                # [S, chunk, .]
-        feat = _sc(_feat16(od_c.reshape(-1, 8)).reshape(S, chunk, 16))
-        t0 = od_c[:, :, 6]
+        ids_c, feat_c = args                              # [S, chunk, .]
+        t0 = feat_c[:, :, 10]
         ts, locs = [], []
         for f in range(F):
             blk = ids_c[:, :, f]
             ok = blk < kreal
             wsel = w[jnp.where(ok, blk, 0)]               # [S, chunk, 16, 4B]
-            prod = jnp.einsum("scf,scfk->sck", feat, wsel)
+            prod = jnp.einsum("scf,scfk->sck", feat_c, wsel)
             t = mxu_bf._epilogue(prod.reshape(-1, 4 * block), block,
                                  t0.reshape(-1)).reshape(S, chunk, block)
             tmin = jnp.min(t, axis=2)
             loc = jnp.argmin(t, axis=2).astype(jnp.int32)
-            ts.append(jnp.where(ok, tmin, BIG))
-            locs.append(jnp.where(ok, loc, 0))
+            # mirror the TPU kernel's packed-truncation exactly so the
+            # two paths stay bit-identical
+            tq, lq = _unpack_tl(_pack_tl(tmin, loc))
+            ts.append(jnp.where(ok, tq, BIG))
+            locs.append(jnp.where(ok, lq, 0))
         return jnp.stack(ts, axis=2), jnp.stack(locs, axis=2)
 
     # Scan over the CHUNK axis with the shard dim inside each element,
     # so every scan step is shard-local (a chunk axis that interleaves
     # shards makes each lax.map step all-gather its slice).
     ids4 = _sc(ids.reshape(S, m // chunk, chunk, F)).transpose(1, 0, 2, 3)
-    od4 = _sc(od8.reshape(S, m // chunk, chunk, 8)).transpose(1, 0, 2, 3)
-    t, loc = jax.lax.map(one, (ids4, od4))                # [mc, S, chunk, F]
+    ft4 = _sc(feat.reshape(S, m // chunk, chunk, 16)).transpose(1, 0, 2, 3)
+    t, loc = jax.lax.map(one, (ids4, ft4))                # [mc, S, chunk, F]
     t = _sc(t.transpose(1, 0, 2, 3)).reshape(n, F)
     loc = _sc(loc.transpose(1, 0, 2, 3)).reshape(n, F)
     return t, loc
 
 
-def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret, shards=1):
+def _pair_pass(ids, feat, cm, ptile, kreal, on_tpu, interpret, shards=1):
     """Test every (ray, block) pair in ``ids`` [n, F]; return per-ray
     (t_best [n], tri_best [n]) over those pairs (BIG/-1 where none).
 
-    ids == kp marks empty slots. od8 [n, 8] per-ray slot record
-    (o, d, t0, activef) — t0 bounds the epilogue.
+    ids == kp marks empty slots. feat [n, 16] per-ray _feat16t record
+    (MT features; col 10 = epilogue bound t0).
 
     TPU path: ONE 1-operand packed-key sort (block id in the high
     bits, pair index in a pow2 low field) groups pairs by block while
@@ -468,19 +518,18 @@ def _pair_pass(ids, od8, cm, ptile, kreal, on_tpu, interpret, shards=1):
             blk_s, src = jax.lax.sort((ids2, iota), num_keys=1, dimension=1)
             blk_s, src = _sc(blk_s), _sc(src)
         ray = jnp.minimum(src // F, m - 1)  # pad slots: any row (sentinel)
-        od = _take_rows(od8.reshape(S, m, 8), ray)           # [S, Pp, 8]
-        t_s, loc_s = _pair_runs_pallas(
-            blk_s.reshape(S * Pp), od.reshape(S * Pp, 8), cm.w, block,
+        featp = _take_rows(feat.reshape(S, m, 16), ray)      # [S, Pp, 16]
+        packed = _pair_runs_pallas(
+            blk_s.reshape(S * Pp), featp.reshape(S * Pp, 16), cm.w, block,
             ptile, kreal, interpret)
-        # back to [n, F] slot order: one keyed sort (src is a row-local
-        # permutation of [0, Pp) with the pad tail sorting last)
-        _, t_p, loc_p = jax.lax.sort(
-            (src, _sc(t_s.reshape(S, Pp)), _sc(loc_s.reshape(S, Pp))),
-            num_keys=1, dimension=1)
-        t_p = _sc(t_p)[:, :Ps].reshape(n, F)
-        loc_p = _sc(loc_p)[:, :Ps].reshape(n, F)
+        # back to [n, F] slot order: one keyed 2-operand sort (src is a
+        # row-local permutation of [0, Pp), pad tail last; the packed
+        # (t | loc) result is ONE operand)
+        _, p_p = jax.lax.sort(
+            (src, _sc(packed.reshape(S, Pp))), num_keys=1, dimension=1)
+        t_p, loc_p = _unpack_tl(_sc(p_p)[:, :Ps].reshape(n, F))
     else:
-        t_p, loc_p = _pair_slots_ref(ids, od8, cm.w, block, kreal,
+        t_p, loc_p = _pair_slots_ref(ids, feat, cm.w, block, kreal,
                                      shards=S)
 
     # Winner select by first-true mask, not argmin + take_along_axis:
@@ -507,8 +556,15 @@ def _rowsort_compact(todo, mbuf):
     S, ns = todo.shape
     iota = jnp.broadcast_to(
         jax.lax.broadcasted_iota(jnp.int32, (S, ns), 1), (S, ns))
-    _, pos_full = jax.lax.sort(
-        ((~todo).astype(jnp.int32), iota), num_keys=1, dimension=1)
+    bits = (ns - 1).bit_length()
+    if 1 << (bits + 1) < 2 ** 31:
+        # 1-operand packed sort: flag in the top bit field, column in
+        # the low bits (~30% cheaper than the 2-operand form)
+        key = ((~todo).astype(jnp.int32) << bits) | iota
+        pos_full = jax.lax.sort(key, dimension=1) & ((1 << bits) - 1)
+    else:
+        _, pos_full = jax.lax.sort(
+            ((~todo).astype(jnp.int32), iota), num_keys=1, dimension=1)
     nr = jnp.sum(todo.astype(jnp.int32), axis=1)
     live = jax.lax.broadcasted_iota(
         jnp.int32, (S, mbuf), 1) < jnp.minimum(nr, mbuf)[:, None]
@@ -526,8 +582,18 @@ def _scatter_back(pos_full, updates, olds):
 
     updates: list of [S, mbuf] values for columns pos_full[:, :mbuf];
     olds: matching list of [S, ns] arrays. Returns the updated arrays.
+
+    Single shard: a plain flat scatter — on one chip the scatter is
+    ~3x cheaper than the rank-restore sort + tail gathers (measured at
+    dragon scale), and there is no partitioner to appease.
     """
     mbuf = updates[0].shape[1]
+    if pos_full.shape[0] == 1:
+        pos = pos_full[0, :mbuf]
+        return tuple(
+            old.reshape(-1).at[pos].set(upd[0]).reshape(old.shape)
+            for old, upd in zip(olds, updates)
+        )
     vals = []
     casts = []
     for old, upd in zip(olds, updates):
@@ -544,10 +610,13 @@ def _scatter_back(pos_full, updates, olds):
 
 
 def _take_rows(a, pos):
-    """Row-local gather a[s, pos[s]] via take_along_axis. The batched
-    gather partitions shard-locally under GSPMD; the advanced-index
-    form a[rows, pos] all-gathers the operand (measured in the
-    compiled sharded module) AND lowers slower single-device."""
+    """Row-local gather a[s, pos[s]]. Single shard: a plain flat row
+    gather (the fastest TPU form). Sharded: take_along_axis — the
+    batched gather partitions shard-locally under GSPMD where the
+    advanced-index form a[rows, pos] all-gathers the operand
+    (measured in the compiled sharded module)."""
+    if pos.shape[0] == 1:
+        return a[0][pos[0]][None]
     idx = pos.reshape(pos.shape + (1,) * (a.ndim - 2))
     return _sc(jnp.take_along_axis(_sc(a), idx, axis=1))
 
@@ -598,15 +667,14 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
 
     on_tpu = jax.default_backend() == "tpu" or interpret
 
-    # pass 1: top-F pairs
+    # pass 1: top-F pairs (+ the per-ray MT feature record)
     if on_tpu:
-        ids, lbov, cnt = _extract_pallas(x, cm.slab, cm.blk, tile, F,
-                                         interpret)
+        ids, lbov, cnt, feat = _extract_pallas(x, cm.slab, cm.blk, tile, F,
+                                               interpret)
     else:
-        ids, lbov, cnt = _extract_ref(x, cm.slab, cm.blk, F)
+        ids, lbov, cnt, feat = _extract_ref(x, cm.slab, cm.blk, F)
 
-    od8 = x[:, :8]  # (o, d, t0, actf) slot record
-    od8v = _sc(od8.reshape(S, ns, 8))
+    featv = _sc(feat.reshape(S, ns, 16))
     idsv = _sc(ids.reshape(S, ns, F))
 
     # Wavefront narrowing: only rays with a nonempty feasible list
@@ -636,9 +704,9 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         pos = pos_full[:, :m1]
         ids_c = jnp.where(live[:, :, None], _take_rows(idsv, pos),
                           jnp.int32(kp))
-        od8_c = _take_rows(od8v, pos) * live.astype(jnp.float32)[:, :, None]
+        ft_c = _take_rows(featv, pos) * live.astype(jnp.float32)[:, :, None]
         t1, tri1 = _pair_pass(ids_c.reshape(S * m1, F),
-                              od8_c.reshape(S * m1, 8),
+                              ft_c.reshape(S * m1, 16),
                               cm, ptile, kreal, on_tpu, interpret, shards=S)
         t1 = t1.reshape(S, m1)
         tri1 = tri1.reshape(S, m1)
@@ -688,14 +756,15 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         x2 = x2.at[:, :, 3:6].mul(livef[:, :, None])
         x2f = x2.reshape(S * m2, 16)
         if on_tpu:
-            ids2, lbov2, cnt2 = _extract_pallas(x2f, cm.slab, cm.blk,
-                                                min(tile, m2), F2, interpret)
+            ids2, lbov2, cnt2, ft2 = _extract_pallas(
+                x2f, cm.slab, cm.blk, min(tile, m2), F2, interpret)
         else:
-            ids2, lbov2, cnt2 = _extract_ref(x2f, cm.slab, cm.blk, F2)
+            ids2, lbov2, cnt2, ft2 = _extract_ref(x2f, cm.slab, cm.blk, F2)
         ids2 = ids2[:, F:]
         bt2g = jnp.where(live, _take_rows(bt, pos), 0.0)
-        od2 = x2f[:, :8].at[:, 6].set(bt2g.reshape(S * m2))
-        t2, tri2 = _pair_pass(ids2, od2, cm, ptile, kreal, on_tpu,
+        # window epilogue bound = the current best (col 10, see _feat16t)
+        ft2 = ft2.at[:, 10].set(bt2g.reshape(S * m2))
+        t2, tri2 = _pair_pass(ids2, ft2, cm, ptile, kreal, on_tpu,
                               interpret, shards=S)
         t2 = t2.reshape(S, m2)
         tri2 = tri2.reshape(S, m2)

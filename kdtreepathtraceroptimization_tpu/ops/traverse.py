@@ -512,7 +512,7 @@ def _mt_inline_packet(o, d, tri_block, inline_n, tri_base, do_leaf, lane_ok,
     inline_n/tri_base/do_leaf: [npk]; lane_ok/best_t/best_tri: [npk, P].
     All math is dense [npk, P, cap] VPU work — the packet design trades
     the per-lane row gather (the measured 7 ns/lane/step latency wall,
-    exp/micro_gather.py) for broadcast flops, which the VPU delivers
+    exp/gather_micro.py) for broadcast flops, which the VPU delivers
     ~3 orders of magnitude cheaper.
     """
     cap = tri_block.shape[1] // 9
@@ -561,7 +561,7 @@ def _fatrow_packet_tile(origin, direction, rows_dev, n_rows, cap,
 
     Re-design of the reference's hybrid short-stack walk
     (pathtrace.cu:1023-1235) around the measured TPU cost model
-    (exp/micro_gather.py): an in-loop row gather costs a flat ~7 ns/lane
+    (exp/gather_micro.py): an in-loop row gather costs a flat ~7 ns/lane
     regardless of row width — pure issue latency — while dense VPU math
     costs ~0.01 ns/flop/lane. So instead of one traversal cursor per RAY
     (a [n] gather per step), rays are grouped into packets of ``P``

@@ -67,8 +67,10 @@ def run(res: int = 256, subdiv: int = 5, depth: int = 4, iters: int = 2,
     for nd in device_counts:
         if nd > len(jax.devices()):
             break
+        # scan_bounces: compile the bounce body once — the unrolled
+        # form of the pair pipeline takes tens of minutes to compile.
         kwargs = dict(trace_depth=depth, antialias=True,
-                      binned_shards=nd)
+                      scan_bounces=True, binned_shards=nd)
         if mode == "pairs":
             kwargs.update(cluster=True, cluster_pairs=True)
         elif mode == "walk":

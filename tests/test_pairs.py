@@ -31,8 +31,10 @@ def test_extraction_matches_dense_entries():
     x = _ray16(o, d, jnp.full((512,), 1e30, jnp.float32),
                jnp.ones((512,), jnp.float32))
     F = 3
-    ids, lbov, cnt = _extract_ref(x, cm.slab, cm.blk, F)
+    ids, lbov, cnt, feat = _extract_ref(x, cm.slab, cm.blk, F)
     ids, lbov, cnt = np.asarray(ids), np.asarray(lbov), np.asarray(cnt)
+    # the feature record carries the epilogue bound in column 10
+    np.testing.assert_allclose(np.asarray(feat[:, 10]), np.asarray(x[:, 6]))
     entry = np.asarray(_slab_cull_ref(x, cm.slab, cm.blk, 1))  # per-ray
     kp = cm.n_blocks
     feas = entry < 1e30
