@@ -57,6 +57,14 @@ class RenderConfig:
     # ~2.7x faster), so that is the default and short_stack=True is the
     # parity/experiment toggle.
     short_stack: bool = False
+    # Horn-style push-down-restart variant of the short stack
+    # (reference traverseKDshort, pathtrace.cu:1238-1414): a genuinely
+    # SHORT fixed stack whose overflow drops are recovered by
+    # restarting from a pushed-down root at [tmax, sceneMax]. Takes
+    # effect with short_stack=True (and fat_rows=False, which has its
+    # own tuned walks); ops/traverse.traverse_pushdown.
+    push_down_restart: bool = False
+    pushdown_stack: int = 6
     use_bbox: bool = True
     compaction: bool = False
     # Reference parity quirk: with compaction ON the reference gathers

@@ -503,31 +503,47 @@ def _pair_pass(ids, feat, cm, ptile, kreal, on_tpu, interpret, shards=1):
 
     if on_tpu:
         p2bits = (Pp - 1).bit_length()
-        iota = jnp.broadcast_to(
-            jax.lax.broadcasted_iota(jnp.int32, (S, Pp), 1), (S, Pp))
         ids2 = ids.reshape(S, Ps)
         if Pp != Ps:
             ids2 = jnp.concatenate(
                 [ids2, jnp.full((S, Pp - Ps), kp, jnp.int32)], axis=1)
-        ids2 = _sc(ids2)
-        if (kp + 1) << p2bits < 2 ** 31:
-            keys_s = _sc(jax.lax.sort((ids2 << p2bits) | iota, dimension=1))
+        overflow = (kp + 1) << p2bits >= 2 ** 31
+        if S == 1 and not overflow:
+            # flat fast path (dimension-1 sorts on [1, N] lower slower)
+            iota1 = jnp.arange(Pp, dtype=jnp.int32)
+            keys_s = jax.lax.sort((ids2.reshape(Pp) << p2bits) | iota1)
             src = keys_s & ((1 << p2bits) - 1)
             blk_s = keys_s >> p2bits
-        else:  # key would overflow i32: fall back to a 2-operand sort
-            blk_s, src = jax.lax.sort((ids2, iota), num_keys=1, dimension=1)
-            blk_s, src = _sc(blk_s), _sc(src)
-        ray = jnp.minimum(src // F, m - 1)  # pad slots: any row (sentinel)
-        featp = _take_rows(feat.reshape(S, m, 16), ray)      # [S, Pp, 16]
-        packed = _pair_runs_pallas(
-            blk_s.reshape(S * Pp), featp.reshape(S * Pp, 16), cm.w, block,
-            ptile, kreal, interpret)
-        # back to [n, F] slot order: one keyed 2-operand sort (src is a
-        # row-local permutation of [0, Pp), pad tail last; the packed
-        # (t | loc) result is ONE operand)
-        _, p_p = jax.lax.sort(
-            (src, _sc(packed.reshape(S, Pp))), num_keys=1, dimension=1)
-        t_p, loc_p = _unpack_tl(_sc(p_p)[:, :Ps].reshape(n, F))
+            ray = jnp.minimum(src // F, m - 1)
+            featp = feat[ray]
+            packed = _pair_runs_pallas(blk_s, featp, cm.w, block,
+                                       ptile, kreal, interpret)
+            _, p_p = jax.lax.sort((src, packed), num_keys=1)
+            t_p, loc_p = _unpack_tl(p_p[:Ps].reshape(n, F))
+        else:
+            ids2 = _sc(ids2)
+            iota = jnp.broadcast_to(
+                jax.lax.broadcasted_iota(jnp.int32, (S, Pp), 1), (S, Pp))
+            if not overflow:
+                keys_s = _sc(jax.lax.sort((ids2 << p2bits) | iota,
+                                          dimension=1))
+                src = keys_s & ((1 << p2bits) - 1)
+                blk_s = keys_s >> p2bits
+            else:  # key would overflow i32: 2-operand sort
+                blk_s, src = jax.lax.sort((ids2, iota), num_keys=1,
+                                          dimension=1)
+                blk_s, src = _sc(blk_s), _sc(src)
+            ray = jnp.minimum(src // F, m - 1)  # pad slots: sentinel
+            featp = _take_rows(feat.reshape(S, m, 16), ray)  # [S, Pp, 16]
+            packed = _pair_runs_pallas(
+                blk_s.reshape(S * Pp), featp.reshape(S * Pp, 16), cm.w,
+                block, ptile, kreal, interpret)
+            # back to [n, F] slot order: one keyed 2-operand sort (src
+            # is a row-local permutation of [0, Pp), pad tail last; the
+            # packed (t | loc) result is ONE operand)
+            _, p_p = jax.lax.sort(
+                (src, _sc(packed.reshape(S, Pp))), num_keys=1, dimension=1)
+            t_p, loc_p = _unpack_tl(_sc(p_p)[:, :Ps].reshape(n, F))
     else:
         t_p, loc_p = _pair_slots_ref(ids, feat, cm.w, block, kreal,
                                      shards=S)
@@ -559,9 +575,15 @@ def _rowsort_compact(todo, mbuf):
     bits = (ns - 1).bit_length()
     if 1 << (bits + 1) < 2 ** 31:
         # 1-operand packed sort: flag in the top bit field, column in
-        # the low bits (~30% cheaper than the 2-operand form)
+        # the low bits (~30% cheaper than the 2-operand form). S == 1
+        # sorts FLAT: a [1, ns] dimension-1 sort lowers measurably
+        # slower than the 1-D form.
         key = ((~todo).astype(jnp.int32) << bits) | iota
-        pos_full = jax.lax.sort(key, dimension=1) & ((1 << bits) - 1)
+        if S == 1:
+            pos_full = (jax.lax.sort(key.reshape(ns))
+                        & ((1 << bits) - 1)).reshape(1, ns)
+        else:
+            pos_full = jax.lax.sort(key, dimension=1) & ((1 << bits) - 1)
     else:
         _, pos_full = jax.lax.sort(
             ((~todo).astype(jnp.int32), iota), num_keys=1, dimension=1)

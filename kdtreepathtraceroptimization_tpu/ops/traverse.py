@@ -44,6 +44,7 @@ from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
 
 class _DeviceNodes(NamedTuple):
     axis: jax.Array
+    split_pos: jax.Array
     bbox_min: jax.Array
     bbox_max: jax.Array
     left: jax.Array
@@ -57,6 +58,7 @@ def _device_nodes(kd) -> _DeviceNodes:
     n = kd.nodes
     return _DeviceNodes(
         axis=jnp.asarray(n.axis),
+        split_pos=jnp.asarray(n.split_pos),
         bbox_min=jnp.asarray(n.bbox_min),
         bbox_max=jnp.asarray(n.bbox_max),
         left=jnp.asarray(n.left),
@@ -288,6 +290,150 @@ def traverse_shortstack(origin, direction, kd, config: RenderConfig,
         jnp.int32(0),
     )
     _, _, _, _, bt, btri, bu, bv, _ = jax.lax.while_loop(cond, body, state)
+    return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=bu, v=bv))
+
+
+def traverse_pushdown(origin, direction, kd, config: RenderConfig,
+                      t_init=None) -> TriHit:
+    """Horn-style push-down-restart short-stack traversal — the last of
+    the reference's traversal variants (traverseKDshort,
+    pathtrace.cu:1238-1414).
+
+    Per-ray state is a parametric interval [tmin, tmax]: internal nodes
+    classify the split by tSplit = (splitPos - o[ax]) / d[ax] against
+    the interval (near-only / far-only / both), BOTH pushes the far
+    interval on a genuinely SHORT fixed stack — an overflowing push is
+    simply dropped, because every dropped interval starts at or beyond
+    the current tmax and a RESTART (empty stack) re-enters at
+    [tmax, sceneMax] and re-walks it. The restart does not start at the
+    global root: while the ray has taken only single-child descents the
+    root is PUSHED DOWN to the deepest node containing the whole
+    remaining interval (pathtrace.cu:1293-1299, 1388-1389). Exact
+    (brute-equal): a lane retires when a found hit lies inside its
+    processed interval (t-ordered intervals cannot be beaten later) or
+    the interval reaches sceneMax.
+    """
+    nodes = _device_nodes(kd)
+    m = nodes.axis.shape[0]
+    n = origin.shape[0]
+    chunk = config.leaf_chunk
+    k = max(2, int(config.pushdown_stack))
+    NO_NODE = jnp.int32(-1)
+    lanes = jnp.arange(n)
+
+    def cond(state):
+        (cur, rootn, tmin, tmax, pushd, sp, st_n, st_lo, st_hi, cursor,
+         bt, btri, bu, bv, done, steps) = state
+        return jnp.logical_and(jnp.any(~done),
+                               steps < config.max_traversal_steps)
+
+    def body(state):
+        (cur, rootn, tmin, tmax, pushd, sp, st_n, st_lo, st_hi, cursor,
+         bt, btri, bu, bv, done, steps) = state
+
+        # -- pop / restart / retire for lanes with no current node ----
+        need = (cur < 0) & ~done
+        can_pop = need & (sp > 0)
+        spi = jnp.clip(sp - 1, 0, k - 1)
+        cur = jnp.where(can_pop, st_n[lanes, spi], cur)
+        tmin = jnp.where(can_pop, st_lo[lanes, spi], tmin)
+        tmax = jnp.where(can_pop, st_hi[lanes, spi], tmax)
+        sp = jnp.where(can_pop, sp - 1, sp)
+        pushd = jnp.where(can_pop, False, pushd)
+        restart = need & ~can_pop & (tmax < BIG)
+        cur = jnp.where(restart, rootn, cur)
+        tmin = jnp.where(restart, tmax, tmin)
+        tmax = jnp.where(restart, BIG, tmax)
+        pushd = jnp.where(restart, True, pushd)
+        done = done | (need & ~can_pop & ~restart)
+
+        active = (cur >= 0) & ~done
+        cur_c = jnp.clip(cur, 0, m - 1)
+        ax = nodes.axis[cur_c]
+        split = nodes.split_pos[cur_c]
+        left = nodes.left[cur_c]
+        right = nodes.right[cur_c]
+        tstart = nodes.tri_start[cur_c]
+        tcount = nodes.tri_count[cur_c]
+        is_leaf = ax < 0
+
+        # -- internal: classify the split against [tmin, tmax] --------
+        axc = jnp.clip(ax, 0, 2)[:, None]
+        o_ax = jnp.take_along_axis(origin, axc, axis=1)[:, 0]
+        d_ax = jnp.take_along_axis(direction, axc, axis=1)[:, 0]
+        d_safe = jnp.where(jnp.abs(d_ax) < 1e-30,
+                           jnp.where(d_ax < 0, -1e-30, 1e-30), d_ax)
+        t_split = (split - o_ax) / d_safe
+        # near = the ORIGIN's side (not the direction sign: a ray that
+        # starts past the split has t_split < 0 and must visit the
+        # high side, which direction-based naming would call "far")
+        near = jnp.where(o_ax < split, left, right)
+        far = jnp.where(o_ax < split, right, left)
+        # missing-child degenerate nodes descend into whichever exists
+        near_eff = jnp.where(near >= 0, near, far)
+        far_eff = jnp.where(far >= 0, far, near)
+        near_only = (t_split >= tmax) | (t_split < 0.0)
+        far_only = ~near_only & (t_split <= tmin)
+        both = ~near_only & ~far_only & (near >= 0) & (far >= 0)
+
+        push = active & ~is_leaf & both & (sp < k)  # overflow: drop
+        spp = jnp.clip(sp, 0, k - 1)
+        st_n = st_n.at[lanes, spp].set(
+            jnp.where(push, far, st_n[lanes, spp]))
+        st_lo = st_lo.at[lanes, spp].set(
+            jnp.where(push, t_split, st_lo[lanes, spp]))
+        st_hi = st_hi.at[lanes, spp].set(
+            jnp.where(push, tmax, st_hi[lanes, spp]))
+        sp = jnp.where(push, sp + 1, sp)
+
+        desc = jnp.where(both, near_eff,
+                         jnp.where(far_only, far_eff, near_eff))
+        went_int = active & ~is_leaf
+        tmax = jnp.where(went_int & both, t_split, tmax)
+        # push-down: single-child descents keep the restart point moving
+        rootn = jnp.where(went_int & pushd & ~both, desc, rootn)
+        pushd = jnp.where(went_int & both, False, pushd)
+
+        # -- leaf: chunked triangle tests -----------------------------
+        do_leaf = active & is_leaf
+        bt, btri, bu, bv = _leaf_chunk_intersect(
+            origin, direction, kd.tris, tstart, tcount, cursor, chunk,
+            bt, btri, bu, bv, do_leaf,
+        )
+        new_cursor_leaf = cursor + chunk
+        leaf_done = new_cursor_leaf >= tcount
+        # early retire: a hit inside the processed interval is final
+        done = done | (do_leaf & leaf_done & (bt <= tmax))
+
+        nxt = jnp.where(is_leaf,
+                        jnp.where(leaf_done, NO_NODE, cur), desc)
+        new_cursor = jnp.where(is_leaf & ~leaf_done, new_cursor_leaf, 0)
+        cur = jnp.where(active, nxt, cur)
+        cursor = jnp.where(active, new_cursor, cursor)
+        return (cur, rootn, tmin, tmax, pushd, sp, st_n, st_lo, st_hi,
+                cursor, bt, btri, bu, bv, done, steps + 1)
+
+    t0 = jnp.full((n,), BIG, jnp.float32) if t_init is None else t_init
+    state = (
+        jnp.zeros((n,), jnp.int32),               # cur = root
+        jnp.zeros((n,), jnp.int32),               # pushed-down root
+        jnp.zeros((n,), jnp.float32),             # tmin
+        jnp.full((n,), BIG, jnp.float32),         # tmax
+        jnp.ones((n,), bool),                     # pushdown
+        jnp.zeros((n,), jnp.int32),               # sp
+        jnp.full((n, k), -1, jnp.int32),
+        jnp.zeros((n, k), jnp.float32),
+        jnp.zeros((n, k), jnp.float32),
+        jnp.zeros((n,), jnp.int32),               # leaf cursor
+        t0,
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), bool),                    # done
+        jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    bt, btri, bu, bv = out[10], out[11], out[12], out[13]
     return jax.lax.stop_gradient(TriHit(t=bt, tri=btri, u=bu, v=bv))
 
 
@@ -876,5 +1022,8 @@ def intersect_mesh_kd(origin, direction, kd, config: RenderConfig,
         return traverse_fatrow(origin, direction, kd, config,
                                t_init=t_init, active=active)
     if config.short_stack:
+        if config.push_down_restart:
+            return traverse_pushdown(origin, direction, kd, config,
+                                     t_init=t_init)
         return traverse_shortstack(origin, direction, kd, config, t_init=t_init)
     return traverse_skiplink(origin, direction, kd, config, t_init=t_init)

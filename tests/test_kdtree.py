@@ -18,6 +18,7 @@ from kdtreepathtraceroptimization_tpu.config import RenderConfig
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
 from kdtreepathtraceroptimization_tpu.ops.mesh import intersect_mesh_brute
 from kdtreepathtraceroptimization_tpu.ops.traverse import (
+    traverse_pushdown,
     traverse_shortstack,
     traverse_skiplink,
 )
@@ -77,7 +78,7 @@ def test_build_tiny_and_degenerate():
     validate_kdtree(kd2, 20)
 
 
-@pytest.mark.parametrize("traverse", [traverse_skiplink, traverse_shortstack])
+@pytest.mark.parametrize("traverse", [traverse_skiplink, traverse_shortstack, traverse_pushdown])
 def test_traversal_matches_brute_force(traverse):
     rng = np.random.default_rng(42)
     a, b, c = _random_soup(rng, 300)
@@ -103,7 +104,7 @@ def test_traversal_matches_brute_force(traverse):
     assert (orig >= 0).all() and (orig < 300).all()
 
 
-@pytest.mark.parametrize("traverse", [traverse_skiplink, traverse_shortstack])
+@pytest.mark.parametrize("traverse", [traverse_skiplink, traverse_shortstack, traverse_pushdown])
 def test_traversal_inside_cluster(traverse):
     # rays starting inside the geometry cluster (origin-inside-AABB paths)
     rng = np.random.default_rng(7)
@@ -130,7 +131,7 @@ def test_traversal_big_leaf_chunking():
     o, d = _random_rays(rng, 128)
     cfg = RenderConfig(leaf_chunk=4)
     brute = intersect_mesh_brute(o, d, mesh, use_bbox=False)
-    for trav in (traverse_skiplink, traverse_shortstack):
+    for trav in (traverse_skiplink, traverse_shortstack, traverse_pushdown):
         kdh = trav(o, d, kd, cfg)
         np.testing.assert_allclose(
             np.asarray(kdh.t), np.asarray(brute.t), rtol=1e-4, atol=1e-4
