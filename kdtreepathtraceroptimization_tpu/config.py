@@ -150,12 +150,15 @@ class RenderConfig:
     # cluster_pairs/walk/binned flags — pairs by default) is used even
     # with ``cluster=False``. Below the threshold the KD walk wins
     # (fixed extraction/sort overheads dominate tiny meshes); the
-    # threshold is the measured TPU crossover (artifacts/SWEEP_r04,
-    # tools/benchmarks.py — the reference documents the same crossover
-    # phenomenon at ~1.8k verts, README.md:215-220). Set
+    # threshold comes from the measured TPU sweep
+    # (artifacts/SWEEP_r04_tpu.json, tools/benchmarks.py): pairs beat
+    # every other mode at every measured size down to 1,280 tris, so
+    # the threshold sits just below the smallest measured row. (The
+    # reference documents the analogous crossover phenomenon at ~1.8k
+    # verts for brute-vs-KD, README.md:215-220.) Set
     # ``cluster_auto=False`` to force the explicit flags only.
     cluster_auto: bool = True
-    cluster_min_tris: int = 2048
+    cluster_min_tris: int = 1024
     cluster_tile: int = 1024   # rays per tile (coherence order)
     # Max entry-ordered blocks walked per tile. The per-tile early exit
     # + copy-deduped round padding make unused rounds nearly free, so

@@ -758,7 +758,11 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     # buffer) or spilled rays into the much slower exhaustive walk when
     # a bounce overflowed it. Rays still unproven after their window
     # accumulate in ``hard`` for pass 3.
-    m2 = min(REPAIR_LANES, ns)
+    # the repair buffers are GLOBAL budgets: each shard carries its
+    # 1/S share, else per-device work stops shrinking with the device
+    # count (measured: work_efficiency 0.24 at 8 shards with unscaled
+    # caps — the capped pass-2/3 stages became per-device constants)
+    m2 = min(max(ptile, REPAIR_LANES // S), ns)
     xv = _sc(x.reshape(S, ns, 16))
 
     def p2_cond(state):
@@ -812,7 +816,7 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     # per-shard buffer, LOOPED until every unproven ray has been
     # walked — the walk covers a ray's full feasible list, so each
     # iteration proves its whole buffer and the loop strictly shrinks.
-    m3 = min(WALK_LANES, ns)
+    m3 = min(max(256, WALK_LANES // S), ns)
     tile3 = min(tile, m3)
 
     def p3_cond(state):

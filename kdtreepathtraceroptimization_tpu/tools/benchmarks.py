@@ -180,10 +180,12 @@ def main(argv=None) -> int:
             print("  ".join(f"{c:>18}" for c in cells), end="\r", flush=True)
         rows.append(row)
         print("  ".join(f"{c:>18}" for c in cells))
+        if args.json:  # write incrementally: a timeout keeps the rows done
+            with open(args.json, "w") as f:
+                json.dump({"res": res, "iters": args.iters, "rows": rows},
+                          f, indent=2)
 
     if args.json:
-        with open(args.json, "w") as f:
-            json.dump({"res": res, "iters": args.iters, "rows": rows}, f, indent=2)
         print(f"wrote {args.json}")
     return 0
 

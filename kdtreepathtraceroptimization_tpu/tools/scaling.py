@@ -35,8 +35,9 @@ import sys
 import time
 
 
-def run(res: int = 256, subdiv: int = 5, depth: int = 4, iters: int = 2,
-        device_counts=(1, 2, 4, 8), mode: str = "pairs"):
+def run(res: int = 256, subdiv: int = 5, depth: int = 4, iters: int = 1,
+        device_counts=(1, 2, 4, 8), mode: str = "pairs",
+        wall: bool = True):
     import os
     import tempfile
 
@@ -146,9 +147,13 @@ def main(argv=None):
     p.add_argument("--subdiv", type=int, default=5)
     p.add_argument("--depth", type=int, default=4)
     p.add_argument("--mode", default="pairs", choices=["pairs", "walk", "kd"])
+    p.add_argument("--no-wall", action="store_true",
+                   help="work-efficiency + collectives only (compile, no "
+                        "timed renders — the CPU oracle is minutes/iter at "
+                        "artifact sizes)")
     args = p.parse_args(argv)
     out = run(res=args.res, subdiv=args.subdiv, depth=args.depth,
-              mode=args.mode)
+              mode=args.mode, wall=not args.no_wall)
     line = json.dumps(out, indent=1)
     if args.json:
         with open(args.json, "w") as f:
