@@ -18,14 +18,16 @@ This module schedules (ray, block) PAIRS instead:
   2. group     ONE 1-operand lax.sort of packed (block id | pair idx)
                keys groups pairs by block (sentinel slots sink to the
                end) and carries the inverse mapping in the key's low
-               bits; one row gather fetches the slot records.
+               bits; one row gather fetches the per-ray MT feature
+               records the extraction kernel emitted.
   3. test      (Pallas): one grid cell per 256-pair tile of the sorted
                order; a while_loop walks the tile's contiguous
                same-block RUNS (mean ~1.1/tile), double-buffering each
                run's [16, 4B] Moller-Trumbore weight block from HBM
-               behind the MXU round; per-slot nearest (t, loc).
-  4. reduce    results return to [N, F] slot order (one keyed sort) and
-               fold with a per-ray min — deterministic, no scatter.
+               behind the MXU round; per-slot nearest (t | loc) packed
+               into one i32.
+  4. reduce    results return to [N, F] slot order (one keyed 2-operand
+               sort) and fold with a per-ray min — deterministic.
   5. prove     a ray is EXACT when its best t <= lb_over (no untested
                block's entry can beat it). Unproven rays (measured
                ~4.5% at F=4) are compacted and rerun with a deeper
@@ -58,7 +60,10 @@ from kdtreepathtraceroptimization_tpu.parallel.ctx import constrain as _sc
 # than the previous F2=20/65536 configuration; the exhaustive-walk tail
 # picks up the residue either way.
 F2 = 12
-REPAIR_LANES = 65536
+# 49152 covers the measured unproven population (38k of 640k at F=3,
+# p99 headroom ~29%) at 25% less pass-2 work than the old 65536; an
+# overflowing bounce just runs the while_loop a second time.
+REPAIR_LANES = 49152
 WALK_LANES = 8192
 
 
