@@ -60,10 +60,10 @@ from kdtreepathtraceroptimization_tpu.parallel.ctx import constrain as _sc
 # than the previous F2=20/65536 configuration; the exhaustive-walk tail
 # picks up the residue either way.
 F2 = 12
-# 49152 covers the measured unproven population (38k of 640k at F=3,
-# p99 headroom ~29%) at 25% less pass-2 work than the old 65536; an
-# overflowing bounce just runs the while_loop a second time.
-REPAIR_LANES = 49152
+# Sized so one while_loop round covers the unproven population of a
+# dragon-scale diffuse bounce (measured full-call cost ROSE 66->73 ms
+# at 49152 — the overflow round costs more than the larger buffer).
+REPAIR_LANES = 65536
 WALK_LANES = 8192
 
 
