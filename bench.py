@@ -145,7 +145,10 @@ def main():
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     if on_tpu:
         candidates = [
-            ("pairs", 800, "-", 10, 3, 3600),
+            # 20 chained iterations: the tunnel dispatch round trip has
+            # been measured as high as ~1 s under pool load — at 10
+            # iterations that inflated the recorded ms/iter ~14%.
+            ("pairs", 800, "-", 20, 3, 3600),
             ("walk", 800, "-", 5, 2, 3600),
             ("walk", 512, "5", 3, 2, 1800),
         ]
