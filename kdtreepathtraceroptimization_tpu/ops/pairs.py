@@ -335,6 +335,8 @@ def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, feat_ref, w1_ref, w_hbm,
     def dma(slot, b):
         return pltpu.make_async_copy(w_hbm.at[b], wbuf.at[slot], sem.at[slot])
 
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ptile, block), 1)
+
     def round_(w_mat, r0, b, r1):
         prod = jax.lax.dot_general(
             feat, w_mat,
@@ -342,10 +344,12 @@ def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, feat_ref, w1_ref, w_hbm,
             preferred_element_type=jnp.float32,
         )
         t = mxu_bf._epilogue(prod, block, t0col)
-        tmin = jnp.min(t, axis=1, keepdims=True)
-        lmin = jnp.argmin(t, axis=1, keepdims=True).astype(jnp.int32)
+        # pack loc BEFORE the reduce: one packed min replaces
+        # min + argmin (ties resolve to the smaller column, and the
+        # CPU oracle reduces identically)
+        pmin = jnp.min(_pack_tl(t, cols), axis=1, keepdims=True)
         in_run = (rows >= r0) & (rows < r1)
-        p_ref[:, :] = jnp.where(in_run, _pack_tl(tmin, lmin), p_ref[:, :])
+        p_ref[:, :] = jnp.where(in_run, pmin, p_ref[:, :])
 
     def runlen(r0, b):
         # sorted order -> the run of block b starting at r0 is
@@ -452,6 +456,7 @@ def _pair_slots_ref(ids, feat, w, block, kreal, shards: int = 1):
         ids_c, feat_c = args                              # [S, chunk, .]
         t0 = feat_c[:, :, 10]
         ts, locs = [], []
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, chunk, block), 2)
         for f in range(F):
             blk = ids_c[:, :, f]
             ok = blk < kreal
@@ -459,11 +464,9 @@ def _pair_slots_ref(ids, feat, w, block, kreal, shards: int = 1):
             prod = jnp.einsum("scf,scfk->sck", feat_c, wsel)
             t = mxu_bf._epilogue(prod.reshape(-1, 4 * block), block,
                                  t0.reshape(-1)).reshape(S, chunk, block)
-            tmin = jnp.min(t, axis=2)
-            loc = jnp.argmin(t, axis=2).astype(jnp.int32)
-            # mirror the TPU kernel's packed-truncation exactly so the
-            # two paths stay bit-identical
-            tq, lq = _unpack_tl(_pack_tl(tmin, loc))
+            # mirror the TPU kernel's pre-reduce packing exactly so the
+            # two paths stay bit-identical (ties -> smaller column)
+            tq, lq = _unpack_tl(jnp.min(_pack_tl(t, cols), axis=2))
             ts.append(jnp.where(ok, tq, BIG))
             locs.append(jnp.where(ok, lq, 0))
         return jnp.stack(ts, axis=2), jnp.stack(locs, axis=2)

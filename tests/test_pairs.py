@@ -57,6 +57,53 @@ def test_extraction_matches_dense_entries():
             assert lbov[i] >= 1e30
 
 
+def test_pack_unpack_roundtrip_properties():
+    from kdtreepathtraceroptimization_tpu.ops.pairs import (
+        _PBIG, _pack_tl, _unpack_tl,
+    )
+
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(rng.random(4096).astype(np.float32) * 100.0 + 1e-4)
+    loc = jnp.asarray(rng.integers(0, 256, 4096), jnp.int32)
+    p = _pack_tl(t, loc)
+    tq, lq = _unpack_tl(p)
+    np.testing.assert_array_equal(np.asarray(lq), np.asarray(loc))
+    tqn, tn = np.asarray(tq), np.asarray(t)
+    # truncation only LOWERS t, by < 2^-15 relative (proof-conservative)
+    assert (tqn <= tn).all()
+    assert (tqn >= tn * (1 - 2.0 ** -15)).all()
+    # packed order == t order for equal-loc, and misses decode as BIG
+    big = jnp.full((4,), 1e30, jnp.float32)
+    pb = _pack_tl(big, jnp.arange(4, dtype=jnp.int32))
+    tb, _ = _unpack_tl(pb)
+    assert (np.asarray(pb) >= _PBIG).all()
+    assert (np.asarray(tb) == np.float32(1e30)).all()
+
+
+def test_extraction_emits_feat16t():
+    """The extraction kernel's feature output must equal the reference
+    _feat16t construction (incl. the t0-in-column-10 smuggle that rides
+    the MT weight matrix's zero rows)."""
+    from kdtreepathtraceroptimization_tpu.ops.pairs import (
+        _extract_pallas, _feat16t,
+    )
+
+    mesh = _mesh(2)
+    cm = build_cluster_mesh(mesh, block=64)
+    o, d = _rays(512, seed=13)
+    o = o - cm.center_shift
+    t0 = jnp.linspace(0.5, 40.0, 512)
+    act = (jnp.arange(512) % 3 != 0).astype(jnp.float32)
+    x = _ray16(o, d * act[:, None], t0, act)
+    ids, lbov, cnt, feat = _extract_pallas(x, cm.slab, cm.blk, 256, 3,
+                                           True)  # interpret mode
+    want = _feat16t(x[:, :8])
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat[:, 10]), np.asarray(t0),
+                               rtol=1e-6)
+
+
 @pytest.mark.parametrize("F", [1, 2, 8])
 def test_pairs_match_brute(F):
     """Tiny F forces pass 2 (and the pass-3 walk for F=1)."""
