@@ -163,16 +163,24 @@ def main():
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
                                   timeout=tmo)
-        except subprocess.TimeoutExpired:
-            print(f"# config {mode}/{res} timed out", file=sys.stderr)
+        except subprocess.TimeoutExpired as e:
+            from kdtreepathtraceroptimization_tpu.utils.fault import classify_failure
+
+            diag = classify_failure(-1, getattr(e, "stderr", "") or "",
+                                    timed_out=True)
+            print(f"# config {mode}/{res} timed out [{diag['kind']}]: "
+                  f"{diag['advice']}", file=sys.stderr)
             continue
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_RESULT "):
                 print(line[len("BENCH_RESULT "):])
                 return
-        tail = (proc.stderr or "").strip().splitlines()[-3:]
-        print(f"# config {mode}/{res} failed rc={proc.returncode}: "
-              + " | ".join(tail), file=sys.stderr)
+        from kdtreepathtraceroptimization_tpu.utils.fault import classify_failure
+
+        diag = classify_failure(proc.returncode, proc.stderr or "")
+        print(f"# config {mode}/{res} failed rc={proc.returncode} "
+              f"[{diag['kind']}]: {diag['advice']} | "
+              + " | ".join(diag["detail"]), file=sys.stderr)
     # Everything failed: still print a JSON line so the driver records
     # the failure as a value instead of a crash.
     print(json.dumps({"metric": "rays/sec/chip (all configs failed)",

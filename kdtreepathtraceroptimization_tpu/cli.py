@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kd-depth", type=int, default=None)
     p.add_argument("--output", "-o", default=None, help="output path (.png or .hdr)")
     p.add_argument("--hdr", action="store_true", help="also write Radiance .hdr")
+    p.add_argument("--live", type=int, default=0, metavar="N",
+                   help="draw the converging film in the terminal every N "
+                        "iterations (ANSI truecolor half-blocks — the "
+                        "headless analog of the reference's GL preview "
+                        "window)")
+    p.add_argument("--live-cols", type=int, default=64,
+                   help="terminal preview width in character cells")
     p.add_argument("--save-every", type=int, default=0,
                    help="write progressive checkpoints every N iterations")
     p.add_argument("--resume", default=None, help="resume from a .npz checkpoint")
@@ -224,6 +231,15 @@ def main(argv=None) -> int:
             dt = time.perf_counter() - t0
             times.append(dt)
             print(f"iter {it}: {dt*1e3:.2f} ms")
+        if args.live and (it % args.live == 0 or it == start_iter + 1):
+            import numpy as _np
+
+            from kdtreepathtraceroptimization_tpu.utils.termview import live_frame
+
+            print(live_frame(_np.asarray(accum), it, res_y, res_x,
+                             cols=args.live_cols,
+                             first=(it == start_iter + 1)),
+                  end="", flush=True)
         if args.save_every and it % args.save_every == 0:
             accum.block_until_ready()
             save_checkpoint(

@@ -92,3 +92,32 @@ def test_scan_bounces_bit_identical(cornell_scene):
         render(scene, RenderConfig(trace_depth=8, scan_bounces=True), spp=2, seed=0)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_termview_ansi_preview():
+    """The live terminal preview (utils/termview.py): shape, gamma, and
+    escape-sequence structure — the headless stand-in for the
+    reference's GL convergence window."""
+    import numpy as np
+
+    from kdtreepathtraceroptimization_tpu.utils.termview import (
+        ansi_preview, live_frame,
+    )
+
+    img = np.zeros((32, 64, 3), np.float32)
+    img[:16] = [1.0, 0.0, 0.0]   # top half red
+    img[16:] = [0.0, 1.0, 0.0]   # bottom half green
+    art = ansi_preview(img, cols=32)
+    lines = art.splitlines()
+    # 64 -> 32 cols downsamples 2x in BOTH axes: 16 rows -> 8 text rows
+    assert len(lines) == 8
+    assert all(line.endswith("\x1b[0m") for line in lines)
+    assert "38;2;255;0;0" in lines[0] and "48;2;255;0;0" in lines[0]
+    assert "38;2;0;255;0" in lines[-1]
+
+    frame0 = live_frame(img.reshape(-1, 3), 1, 32, 64, cols=32, first=True)
+    frame1 = live_frame(img.reshape(-1, 3), 2, 32, 64, cols=32)
+    rewind = f"\x1b[{art.count(chr(10)) + 2}F"
+    assert not frame0.startswith(rewind)  # no rewind on the first frame
+    assert frame1.startswith(rewind)       # art rows + status line
+    assert "iter 2" in frame1
