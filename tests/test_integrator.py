@@ -121,3 +121,49 @@ def test_termview_ansi_preview():
     assert not frame0.startswith(rewind)  # no rewind on the first frame
     assert frame1.startswith(rewind)       # art rows + status line
     assert "iter 2" in frame1
+
+
+def test_sort_rays_by_octant_groups_and_preserves():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kdtreepathtraceroptimization_tpu.ops.camera import RaySoA
+    from kdtreepathtraceroptimization_tpu.ops.compaction import (
+        sort_rays_by_octant,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 256
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rays = RaySoA(
+        origin=jnp.zeros((n, 3), jnp.float32),
+        direction=jnp.asarray(d),
+        color=jnp.ones((n, 3), jnp.float32),
+        is_inside=jnp.zeros((n,), bool),
+        sdepth=jnp.zeros((n,), jnp.float32),
+        pixel_index=jnp.arange(n, dtype=jnp.int32),
+        remaining_bounces=jnp.where(jnp.arange(n) % 5 == 0, 0, 3),
+    )
+    out = jax.jit(sort_rays_by_octant)(rays)
+    # permutation: every pixel index present exactly once
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(out.pixel_index)), np.arange(n)
+    )
+    od = np.asarray(out.direction)
+    oct_ = ((od[:, 0] >= 0) + 2 * (od[:, 1] >= 0)
+            + 4 * (od[:, 2] >= 0)).astype(int)
+    alive = np.asarray(out.remaining_bounces) > 0
+    # alive rays come first, grouped by nondecreasing octant
+    assert alive[: alive.sum()].all() and not alive[alive.sum():].any()
+    assert (np.diff(oct_[: alive.sum()]) >= 0).all()
+
+
+def test_pad_to_devices():
+    from kdtreepathtraceroptimization_tpu.parallel.sharding import (
+        pad_to_devices,
+    )
+
+    assert pad_to_devices(1024, 8) == 1024
+    assert pad_to_devices(1001, 8) == 1008
+    assert pad_to_devices(1, 8) == 8
