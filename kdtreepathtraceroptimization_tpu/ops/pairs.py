@@ -72,7 +72,14 @@ WALK_LANES = 8192
 # ---------------------------------------------------------------------------
 
 
-_IDX_BITS = 10  # block id bits packed into the key's low mantissa
+# Block-id bits packed into the entry key's low mantissa: 12 bits =
+# 4096 blocks = 1.05M triangles at block=256 (the reference's largest
+# demonstrated scenes are ~1-3M faces, README.md:170-181). The
+# truncation lowers entry keys by <= 2^-11 relative — still
+# conservative for feasibility and the lb_over proof (see
+# _extract_math). Scenes past the cap skip the cluster build and take
+# the KD walk (scene/parser.py).
+_IDX_BITS = 12
 
 
 def _extract_math(x, slab, blk, kp, F):
@@ -203,9 +210,18 @@ def _extract_pallas(x, slab, blk, tile: int, F: int, interpret: bool):
 
     n = x.shape[0]
     kp = blk.shape[1]
-    assert kp <= (1 << _IDX_BITS)
-    for tl in (512, 256, 128, 64, 32, 16, 8):  # ray lanes per grid cell
-        if n % tl == 0:
+    assert kp <= (1 << _IDX_BITS), (
+        f"{kp} cluster blocks exceeds the {1 << _IDX_BITS}-block pair "
+        "intersector cap (~1M triangles at block=256); the scene "
+        "builder should have skipped the cluster table"
+    )
+    # ray lanes per grid cell, capped so the [kp, tl] entry/key
+    # buffers stay within VMEM at large block counts
+    tl_max = 512
+    while tl_max > 64 and kp * tl_max * 4 > 2 ** 21:
+        tl_max //= 2
+    for tl in (tl_max, 256, 128, 64, 32, 16, 8):
+        if tl <= tl_max and n % tl == 0:
             break
     else:
         raise ValueError(f"ray count {n} not a multiple of 8")

@@ -149,7 +149,11 @@ def load_scene(
 
             kd = build_kdtree_from_mesh(mesh, leaf_size=leaf_size, max_depth=max_depth)
         cmesh = None
-        if build_cluster:
+        # The pair intersector's packed block ids cap the cluster table
+        # at 4096 blocks (~1M tris at block=256, ops/pairs._IDX_BITS);
+        # bigger meshes skip the table and the auto-select takes the
+        # KD walk instead of crashing at trace time.
+        if build_cluster and mesh.v0.shape[0] <= 4096 * cluster_block:
             from kdtreepathtraceroptimization_tpu.ops.cluster import (
                 build_cluster_mesh,
             )
