@@ -24,6 +24,9 @@ cm = scene.cmesh
 config = RenderConfig(cluster=True, cluster_pairs=True)
 tile, F, ptile = config.cluster_tile, config.pair_slots, config.pair_tile
 ptile = int(os.environ.get("PTILE", ptile))
+F = int(os.environ.get("F", F))
+import dataclasses
+config = dataclasses.replace(config, pair_slots=F, pair_tile=ptile)
 kp = cm.n_blocks
 kreal = cm.n_real_blocks
 block = cm.block

@@ -155,8 +155,10 @@ def _bin_rank(bins: jax.Array, shards: int = 1):
         jax.lax.broadcasted_iota(jnp.int32, (shards, m), 1), (shards, m)
     )
     _, perm = jax.lax.sort((b2, iota), num_keys=1, dimension=1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (shards, m), 0)
-    rank = jnp.zeros((shards, m), jnp.int32).at[rows, perm].set(iota)
+    # inverse permutation via a second sort, not a scatter: XLA's SPMD
+    # partitioner all-gathers batched scatters but keeps dimension-1
+    # sorts shard-local (measured on the pairs path, ops/pairs.py r4)
+    _, rank = jax.lax.sort((perm, iota), num_keys=1, dimension=1)
     return rank, perm
 
 
@@ -287,11 +289,14 @@ def intersect_mesh_binned(origin, direction, cm: "cl.ClusterMesh", config,
         _, pos_full = jax.lax.sort(
             ((~fl2).astype(jnp.int32), iota), num_keys=1, dimension=1
         )
+        from kdtreepathtraceroptimization_tpu.ops.pairs import (
+            _scatter_back, _take_rows,
+        )
+
         pos = pos_full[:, :mr]                              # [shards, mr]
         live = jax.lax.broadcasted_iota(jnp.int32, (shards, mr), 1) < count[:, None]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (shards, mr), 0)
-        x2 = x.reshape(shards, ns, 8)[rows, pos]            # [shards, mr, 8]
-        bt_g = bt.reshape(shards, ns)[rows, pos]
+        x2 = _take_rows(x.reshape(shards, ns, 8), pos)      # [shards, mr, 8]
+        bt_g = _take_rows(bt.reshape(shards, ns), pos)
         livef = live.astype(jnp.float32)
         # re-bound by current best; deactivate padding lanes
         x2 = x2.at[:, :, 6].set(jnp.where(live, bt_g, 0.0))
@@ -302,12 +307,13 @@ def intersect_mesh_binned(origin, direction, cm: "cl.ClusterMesh", config,
         bt2 = bt2.reshape(shards, mr)
         btri2 = btri2.reshape(shards, mr)
         upd = live & (btri2 >= 0)
-        bt = bt.reshape(shards, ns).at[rows, pos].set(
-            jnp.where(upd, bt2, bt_g)).reshape(npad)
-        btri = btri.reshape(shards, ns).at[rows, pos].set(
-            jnp.where(upd, btri2, btri.reshape(shards, ns)[rows, pos])
-        ).reshape(npad)
-        return bt, btri
+        btri_v = btri.reshape(shards, ns)
+        bt_new, btri_new = _scatter_back(
+            pos_full,
+            [jnp.where(upd, bt2, bt_g),
+             jnp.where(upd, btri2, _take_rows(btri_v, pos))],
+            [bt.reshape(shards, ns), btri_v])
+        return bt_new.reshape(npad), btri_new.reshape(npad)
 
     def repair_sweep(args):
         # Overflow fallback (flagged population larger than the buffer):
