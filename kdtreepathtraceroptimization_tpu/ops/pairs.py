@@ -589,34 +589,6 @@ def _pair_pass(ids, feat, cm, ptile, kreal, on_tpu, interpret, shards=1):
 # ---------------------------------------------------------------------------
 
 
-def _rowsort_compact(todo, mbuf):
-    """Row-local flagged-first compaction: todo [S, ns] bool ->
-    (pos_full [S, ns] flagged-first column permutation — slots
-    [:mbuf] are the compaction buffer — and live [S, mbuf])."""
-    S, ns = todo.shape
-    iota = jnp.broadcast_to(
-        jax.lax.broadcasted_iota(jnp.int32, (S, ns), 1), (S, ns))
-    bits = (ns - 1).bit_length()
-    if 1 << (bits + 1) < 2 ** 31:
-        # 1-operand packed sort: flag in the top bit field, column in
-        # the low bits (~30% cheaper than the 2-operand form). S == 1
-        # sorts FLAT: a [1, ns] dimension-1 sort lowers measurably
-        # slower than the 1-D form.
-        key = ((~todo).astype(jnp.int32) << bits) | iota
-        if S == 1:
-            pos_full = (jax.lax.sort(key.reshape(ns))
-                        & ((1 << bits) - 1)).reshape(1, ns)
-        else:
-            pos_full = jax.lax.sort(key, dimension=1) & ((1 << bits) - 1)
-    else:
-        _, pos_full = jax.lax.sort(
-            ((~todo).astype(jnp.int32), iota), num_keys=1, dimension=1)
-    nr = jnp.sum(todo.astype(jnp.int32), axis=1)
-    live = jax.lax.broadcasted_iota(
-        jnp.int32, (S, mbuf), 1) < jnp.minimum(nr, mbuf)[:, None]
-    return _sc(pos_full), _sc(live)
-
-
 def _scatter_back(pos_full, updates, olds):
     """Write compacted updates back to their source columns WITHOUT a
     scatter: values for the untouched tail are gathered, and one
@@ -665,6 +637,75 @@ def _take_rows(a, pos):
         return a[0][pos[0]][None]
     idx = pos.reshape(pos.shape + (1,) * (a.ndim - 2))
     return _sc(jnp.take_along_axis(_sc(a), idx, axis=1))
+
+
+def _compact_all(todo):
+    """Flagged-first column permutation of the whole [S, ns] view plus
+    the per-shard flagged count. The flagged set of each proof pass is
+    STATIC once computed, so the pass loops slice THIS one permutation
+    round by round instead of re-sorting and maintaining a todo mask
+    every iteration (which cost a full-width sort + mask scatter per
+    round)."""
+    S, ns = todo.shape
+    iota = jnp.broadcast_to(
+        jax.lax.broadcasted_iota(jnp.int32, (S, ns), 1), (S, ns))
+    bits = (ns - 1).bit_length()
+    assert 1 << (bits + 1) < 2 ** 31, ns
+    key = ((~todo).astype(jnp.int32) << bits) | iota
+    if S == 1:  # flat 1-D sorts lower faster than [1, ns] dimension-1
+        pos = (jax.lax.sort(key.reshape(ns))
+               & ((1 << bits) - 1)).reshape(1, ns)
+    else:
+        pos = jax.lax.sort(key, dimension=1) & ((1 << bits) - 1)
+    nr = jnp.sum(todo.astype(jnp.int32), axis=1)
+    return _sc(pos), nr
+
+
+def _pad_positions(pos, total):
+    """Pad the position permutation to ``total`` columns with UNIQUE
+    out-of-range sentinels (ns, ns+1, ...): slices then never clamp,
+    sentinel slots sort past the real columns in the rank-restore, and
+    the flat scatter drops them."""
+    S, ns = pos.shape
+    if total == ns:
+        return pos
+    extra = jnp.broadcast_to(
+        jnp.arange(ns, total, dtype=jnp.int32)[None, :], (S, total - ns))
+    return jnp.concatenate([pos, extra], axis=1)
+
+
+def _scatter_slice(pos_pad, k, mbuf, updates, olds):
+    """Write per-round updates for columns pos_pad[:, k*mbuf:(k+1)*mbuf]
+    back into the olds. Single shard: one flat scatter with
+    out-of-range (sentinel) positions dropped. Sharded: gather the
+    olds at the padded permutation, overlay the round's slice with
+    dynamic_update_slice, and ONE multi-operand rank-restore sort —
+    the collective-free form (scatters all-gather under GSPMD)."""
+    S = pos_pad.shape[0]
+    pos = jax.lax.dynamic_slice(pos_pad, (jnp.int32(0), k * mbuf),
+                                (S, mbuf))
+    if S == 1:
+        return tuple(
+            old.reshape(-1).at[pos[0]].set(upd[0], mode="drop")
+            .reshape(old.shape)
+            for old, upd in zip(olds, updates)
+        )
+    ns = olds[0].shape[1]
+    safe = jnp.clip(pos_pad, 0, ns - 1)
+    fulls = []
+    casts = []
+    for old, upd in zip(olds, updates):
+        cast = old.dtype == jnp.bool_
+        casts.append(cast)
+        oldp = jnp.take_along_axis(_sc(old), safe, axis=1)
+        full = jax.lax.dynamic_update_slice(
+            oldp, upd, (jnp.int32(0), k * mbuf))
+        fulls.append(full.astype(jnp.int32) if cast else full)
+    out = jax.lax.sort((pos_pad, *fulls), num_keys=1, dimension=1)
+    return tuple(
+        _sc((o[:, :ns]).astype(jnp.bool_) if cast else o[:, :ns])
+        for o, cast in zip(out[1:], casts)
+    )
 
 
 def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
@@ -740,14 +781,18 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     btri = _sc(jnp.full((S, ns), -1, jnp.int32))
     mesh_act = _sc((act & (cnt > 0)).reshape(S, ns))
 
+    pos1, nr1 = _compact_all(mesh_act)      # the set is static: ONE sort
+    pos1p = _pad_positions(pos1, -(-ns // m1) * m1)
+    iota_m1 = jnp.arange(m1, dtype=jnp.int32)[None, :]
+
     def n1_cond(state):
-        _, _, todo = state
-        return jnp.any(todo)
+        k, _, _ = state
+        return k * m1 < jnp.max(nr1)
 
     def n1_body(state):
-        bt, btri, todo = state
-        pos_full, live = _rowsort_compact(todo, m1)
-        pos = pos_full[:, :m1]
+        k, bt, btri = state
+        pos = jax.lax.dynamic_slice(pos1p, (jnp.int32(0), k * m1), (S, m1))
+        live = (k * m1 + iota_m1) < nr1[:, None]
         ids_c = jnp.where(live[:, :, None], _take_rows(idsv, pos),
                           jnp.int32(kp))
         ft_c = _take_rows(featv, pos) * live.astype(jnp.float32)[:, :, None]
@@ -758,16 +803,15 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         tri1 = tri1.reshape(S, m1)
         bt_pos = _take_rows(bt, pos)
         upd = live & (t1 <= bt_pos)
-        bt, btri, todo = _scatter_back(
-            pos_full,
+        bt, btri = _scatter_slice(
+            pos1p, k, m1,
             [jnp.where(upd, t1, bt_pos),
-             jnp.where(upd, tri1, _take_rows(btri, pos)),
-             jnp.where(live, False, _take_rows(todo, pos))],
-            [bt, btri, todo])
-        return bt, btri, todo
+             jnp.where(upd, tri1, _take_rows(btri, pos))],
+            [bt, btri])
+        return k + 1, bt, btri
 
-    bt, btri, _ = jax.lax.while_loop(
-        n1_cond, n1_body, (bt, btri, mesh_act)
+    _, bt, btri = jax.lax.while_loop(
+        n1_cond, n1_body, (jnp.int32(0), bt, btri)
     )
 
     # proof: every untested block's entry >= lb_over; a ray whose best
@@ -789,14 +833,18 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     m2 = min(max(ptile, REPAIR_LANES // S), ns)
     xv = _sc(x.reshape(S, ns, 16))
 
+    pos2, nr2 = _compact_all(unproven)      # static set: ONE sort
+    pos2p = _pad_positions(pos2, -(-ns // m2) * m2)
+    iota_m2 = jnp.arange(m2, dtype=jnp.int32)[None, :]
+
     def p2_cond(state):
-        _, _, todo2, _ = state
-        return jnp.any(todo2)
+        k, _, _, _ = state
+        return k * m2 < jnp.max(nr2)
 
     def p2_body(state):
-        bt, btri, todo2, hard = state
-        pos_full, live = _rowsort_compact(todo2, m2)
-        pos = pos_full[:, :m2]
+        k, bt, btri, hard = state
+        pos = jax.lax.dynamic_slice(pos2p, (jnp.int32(0), k * m2), (S, m2))
+        live = (k * m2 + iota_m2) < nr2[:, None]
         livef = live.astype(jnp.float32)
         x2 = _take_rows(xv, pos)                           # [S, m2, 16]
         # extraction keeps the ORIGINAL t0 mask so the first F ids
@@ -821,19 +869,18 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         upd = live & (t2 < bt2g)
         still = (live & (lbov2.reshape(S, m2) < jnp.where(upd, t2, bt2g))
                  & (cnt2.reshape(S, m2) > F2))
-        bt, btri, todo2, hard = _scatter_back(
-            pos_full,
+        bt, btri, hard = _scatter_slice(
+            pos2p, k, m2,
             [jnp.where(upd, t2, _take_rows(bt, pos)),
              jnp.where(upd, tri2, _take_rows(btri, pos)),
-             jnp.where(live, False, _take_rows(todo2, pos)),
              still | _take_rows(hard, pos)],
-            [bt, btri, todo2, hard])
-        return bt, btri, todo2, hard
+            [bt, btri, hard])
+        return k + 1, bt, btri, hard
 
     if max_passes >= 2:
-        bt, btri, _, unproven = jax.lax.while_loop(
+        _, bt, btri, unproven = jax.lax.while_loop(
             p2_cond, p2_body,
-            (bt, btri, unproven, jnp.zeros((S, ns), bool)),
+            (jnp.int32(0), bt, btri, jnp.zeros((S, ns), bool)),
         )
 
     # pass 3 (residual tail, ~never): exhaustive walk over a small
@@ -843,14 +890,19 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     m3 = min(max(256, WALK_LANES // S), ns)
     tile3 = min(tile, m3)
 
+    if max_passes >= 3:
+        pos3, nr3 = _compact_all(unproven)  # static set: ONE sort
+        pos3p = _pad_positions(pos3, -(-ns // m3) * m3)
+    iota_m3 = jnp.arange(m3, dtype=jnp.int32)[None, :]
+
     def p3_cond(state):
-        _, _, unproven = state
-        return jnp.any(unproven)
+        k, _, _ = state
+        return k * m3 < jnp.max(nr3)
 
     def p3_body(state):
-        bt, btri, unproven = state
-        pos_full, live = _rowsort_compact(unproven, m3)
-        pos = pos_full[:, :m3]
+        k, bt, btri = state
+        pos = jax.lax.dynamic_slice(pos3p, (jnp.int32(0), k * m3), (S, m3))
+        live = (k * m3 + iota_m3) < nr3[:, None]
         livef = live.astype(jnp.float32)
         x3 = _take_rows(xv, pos)
         x3 = x3.at[:, :, 6].set(jnp.where(live, _take_rows(bt, pos), 0.0))
@@ -877,17 +929,16 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         t3 = t3.reshape(S, m3)
         tri3 = tri3.reshape(S, m3)
         upd = live & (tri3 >= 0)
-        bt, btri, unproven = _scatter_back(
-            pos_full,
+        bt, btri = _scatter_slice(
+            pos3p, k, m3,
             [jnp.where(upd, t3, _take_rows(bt, pos)),
-             jnp.where(upd, tri3, _take_rows(btri, pos)),
-             jnp.where(live, False, _take_rows(unproven, pos))],
-            [bt, btri, unproven])
-        return bt, btri, unproven
+             jnp.where(upd, tri3, _take_rows(btri, pos))],
+            [bt, btri])
+        return k + 1, bt, btri
 
     if max_passes >= 3:
-        bt, btri, _ = jax.lax.while_loop(p3_cond, p3_body,
-                                         (bt, btri, unproven))
+        _, bt, btri = jax.lax.while_loop(
+            p3_cond, p3_body, (jnp.int32(0), bt, btri))
 
     bt, btri = bt.reshape(npad)[:n], btri.reshape(npad)[:n]
     bt = jnp.where(btri >= 0, bt, BIG)
