@@ -302,10 +302,11 @@ def traverse_pushdown(origin, direction, kd, config: RenderConfig,
     Per-ray state is a parametric interval [tmin, tmax]: internal nodes
     classify the split by tSplit = (splitPos - o[ax]) / d[ax] against
     the interval (near-only / far-only / both), BOTH pushes the far
-    interval on a genuinely SHORT fixed stack — an overflowing push is
-    simply dropped, because every dropped interval starts at or beyond
-    the current tmax and a RESTART (empty stack) re-enters at
-    [tmax, sceneMax] and re-walks it. The restart does not start at the
+    interval on a genuinely SHORT fixed stack — an overflowing push
+    evicts the OLDEST (bottom) entry, which always holds the FARTHEST
+    pending interval, so every evicted interval lies beyond all
+    retained ones and a RESTART (empty stack) re-enters at
+    [tmax, sceneMax] and re-walks their union. The restart does not start at the
     global root: while the ray has taken only single-child descents the
     root is PUSHED DOWN to the deepest node containing the whole
     remaining interval (pathtrace.cu:1293-1299, 1388-1389). Exact
@@ -376,14 +377,29 @@ def traverse_pushdown(origin, direction, kd, config: RenderConfig,
         far_only = ~near_only & (t_split <= tmin)
         both = ~near_only & ~far_only & (near >= 0) & (far >= 0)
 
-        push = active & ~is_leaf & both & (sp < k)  # overflow: drop
-        spp = jnp.clip(sp, 0, k - 1)
+        # Pushes stack in NEAR-to-far order from the bottom up: each new
+        # far interval [t_split, tmax] lies BELOW every retained entry
+        # (tmax shrank to the previous t_split).  On overflow Horn's
+        # scheme must therefore discard the OLDEST (bottom) entry — the
+        # farthest pending interval — so every dropped interval lies
+        # beyond all retained ones and the empty-stack restart
+        # [tmax, BIG] re-walks their union.  (Dropping the NEWEST would
+        # leave a never-revisited gap below the retained top and break
+        # the bt <= tmax early-retire contiguity invariant.)
+        want_push = active & ~is_leaf & both
+        push = want_push & (sp < k)
+        ovf = want_push & (sp >= k)
+        st_n = jnp.where(ovf[:, None], jnp.roll(st_n, -1, axis=1), st_n)
+        st_lo = jnp.where(ovf[:, None], jnp.roll(st_lo, -1, axis=1), st_lo)
+        st_hi = jnp.where(ovf[:, None], jnp.roll(st_hi, -1, axis=1), st_hi)
+        wr = push | ovf
+        spp = jnp.where(ovf, k - 1, jnp.clip(sp, 0, k - 1))
         st_n = st_n.at[lanes, spp].set(
-            jnp.where(push, far, st_n[lanes, spp]))
+            jnp.where(wr, far, st_n[lanes, spp]))
         st_lo = st_lo.at[lanes, spp].set(
-            jnp.where(push, t_split, st_lo[lanes, spp]))
+            jnp.where(wr, t_split, st_lo[lanes, spp]))
         st_hi = st_hi.at[lanes, spp].set(
-            jnp.where(push, tmax, st_hi[lanes, spp]))
+            jnp.where(wr, tmax, st_hi[lanes, spp]))
         sp = jnp.where(push, sp + 1, sp)
 
         desc = jnp.where(both, near_eff,

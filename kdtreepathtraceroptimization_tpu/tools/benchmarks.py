@@ -44,7 +44,9 @@ MODES = {
 }
 
 
-DRAGON = "/root/reference/scenes/dragon.obj"
+# The dragon sweep needs a high-poly OBJ which is not shipped with the
+# repo; point KDPT_DRAGON_OBJ at one (e.g. a Stanford-dragon mesh).
+DRAGON = os.environ.get("KDPT_DRAGON_OBJ", "")
 
 
 def _cornell_path():
@@ -74,6 +76,11 @@ def _dragon_scene(res: int, n_faces: int):
     preserves the perf-vs-triangle-count axis the sweep measures)."""
     from kdtreepathtraceroptimization_tpu.scene.parser import load_scene, with_resolution
 
+    if not DRAGON or not os.path.exists(DRAGON):
+        raise SystemExit(
+            "dragon sweep: set KDPT_DRAGON_OBJ to a high-poly OBJ path "
+            f"(got {DRAGON!r})"
+        )
     faces = []
     vlines = []
     with open(DRAGON) as f:

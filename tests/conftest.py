@@ -32,6 +32,35 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import pytest  # noqa: E402
+import signal  # noqa: E402
+
+# Per-test hang guard. pytest-timeout is not in the baked environment,
+# so use SIGALRM directly: a single stuck compile/collective would
+# otherwise eat the whole CI budget. Won't fire inside C code holding
+# the GIL, but covers the realistic hangs (while_loop livelock, tunnel
+# stall surfacing as a Python-level wait).
+_TEST_TIMEOUT_S = int(os.environ.get("KDPT_TEST_TIMEOUT", "600"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    if _TEST_TIMEOUT_S <= 0 or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def _alarm(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded the {_TEST_TIMEOUT_S}s hang guard "
+            "(KDPT_TEST_TIMEOUT to adjust)"
+        )
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(_TEST_TIMEOUT_S)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")

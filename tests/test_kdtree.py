@@ -122,6 +122,31 @@ def test_traversal_inside_cluster(traverse):
     )
 
 
+@pytest.mark.parametrize("stack_k", [2, 3])
+def test_pushdown_overflow_recovery(stack_k):
+    """Force short-stack overflow and check the Horn oldest-drop
+    eviction + push-down restart still matches brute force.
+
+    A deep tree (leaf_size=2, 6000 tris) with pushdown_stack=2 makes
+    almost every ray evict entries; before the oldest-drop fix this
+    produced hundreds of wrong nearest hits (advisor r4, high)."""
+    rng = np.random.default_rng(3)
+    a, b, c = _random_soup(rng, 6000, spread=6.0, size=0.4)
+    mesh = _mesh_from_soup(a, b, c)
+    kd = build_kdtree(a, b, c, leaf_size=2)
+    o, d = _random_rays(rng, 1024)
+    cfg = RenderConfig(pushdown_stack=stack_k, max_traversal_steps=65536)
+
+    brute = jax.jit(lambda o, d: intersect_mesh_brute(o, d, mesh, use_bbox=False))(o, d)
+    kdh = jax.jit(lambda o, d: traverse_pushdown(o, d, kd, cfg))(o, d)
+
+    bt = np.asarray(brute.t)
+    kt = np.asarray(kdh.t)
+    np.testing.assert_array_equal(bt < BIG, kt < BIG)
+    hit = bt < BIG
+    np.testing.assert_allclose(kt[hit], bt[hit], rtol=1e-4, atol=1e-4)
+
+
 def test_traversal_big_leaf_chunking():
     # leaf_chunk smaller than leaf sizes exercises the cursor path
     rng = np.random.default_rng(3)

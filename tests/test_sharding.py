@@ -98,7 +98,6 @@ def test_pairs_sharded_matches_and_no_collectives(eight_devices):
     film0 = device_film(n, mesh)
     hlo = step.lower(film0, jax.random.PRNGKey(0),
                      jnp.int32(1)).compile().as_text()
-    open("/tmp/pairs_test.hlo", "w").write(hlo)
     for coll in ("all-to-all", "all-gather"):
         assert coll not in hlo, f"sharded pairs forward contains {coll}"
 
