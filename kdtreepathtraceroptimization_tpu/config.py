@@ -208,13 +208,16 @@ class RenderConfig:
     # per chip) emits NO cross-chip collectives in the intersector. Set
     # to the device count of the mesh; 1 = single chip.
     binned_shards: int = 1
-    # Bounce loop form. Python-unrolled (False) lets XLA fuse across
-    # bounces and sidesteps a lax.scan reverse-mode NaN pathology (see
-    # trace_rays); lax.scan (True) compiles the bounce body — including
-    # any Pallas kernels — ONCE instead of depth times, cutting compile
-    # time ~8x on big scenes. Forward-only paths (bench, CLI) use scan;
-    # differentiable paths keep the unroll.
-    scan_bounces: bool = False
+    # Bounce loop form. lax.scan (True, default) compiles the bounce
+    # body — including any Pallas kernels — ONCE instead of depth
+    # times, cutting compile time ~8x on big scenes. The historical
+    # lax.scan reverse-mode NaN that forced a Python-unroll default
+    # disappeared with the r5 channel-split wavefront (the old [N, G]
+    # masked-sum winner selection produced 0*inf cotangents in the scan
+    # transpose); tests/test_grad.py::test_grad_scan_equals_unroll pins
+    # scan-backward == unroll-backward. False keeps the unrolled form
+    # (cross-bounce fusion; slower compiles).
+    scan_bounces: bool = True
 
     def __post_init__(self):
         if self.trace_depth > self.max_trace_depth:

@@ -54,6 +54,7 @@ import jax
 import jax.numpy as jnp
 
 from kdtreepathtraceroptimization_tpu.ops import cluster as cl
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
 from kdtreepathtraceroptimization_tpu.ops import mxu_bf
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
 from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
@@ -234,6 +235,8 @@ def intersect_mesh_binned(origin, direction, cm: "cl.ClusterMesh", config,
     Same contract as cluster.intersect_mesh_cluster — see module
     docstring for the pipeline.
     """
+    origin = vm.as_rows(origin)
+    direction = vm.as_rows(direction)
     n = origin.shape[0]
     tile = config.cluster_tile
     rounds = config.binned_rounds

@@ -7,6 +7,9 @@ lane with dense vector math and composes the result with nested
 ``jnp.where`` — no divergence, full VPU occupancy. Decision uniforms come
 from pre-drawn columns.
 
+All vectors are channel-split (``vm.V3`` of [N] arrays) — the TPU-fast
+layout; see vecmath.py for the measured [N, 3]-vs-channels gap.
+
 Priority chain (identical to the reference):
   1. transmittance > 0        -> subsurface scattering
   2. has_refractive != 0      -> Fresnel split refract/reflect
@@ -22,70 +25,76 @@ import jax
 import jax.numpy as jnp
 
 from kdtreepathtraceroptimization_tpu.ops import sampling, vecmath as vm
+from kdtreepathtraceroptimization_tpu.ops.vecmath import V3
 
 
 class MaterialLanes(NamedTuple):
-    """Per-ray gathered material parameters."""
+    """Per-ray gathered material parameters (channel-split vectors)."""
 
-    color: jax.Array  # [N, 3]
-    specular_color: jax.Array  # [N, 3]
+    color: V3  # V3 of [N]
+    specular_color: V3  # V3 of [N]
     has_reflective: jax.Array  # [N]
     has_refractive: jax.Array  # [N]
     index_of_refraction: jax.Array  # [N]
     emittance: jax.Array  # [N]
-    transmittance: jax.Array  # [N, 3]
+    transmittance: V3  # V3 of [N]
 
 
 def gather_materials(materials, material_id) -> MaterialLanes:
     """Gather the material table rows hit by each ray.
 
     The reference reads ``materials[intersection.materialId]`` per thread
-    (pathtrace.cu:2327). Here the 13 material scalars are packed into ONE
-    [M, 13] row so the per-lane lookup is a single row gather — on TPU
-    gather cost is per OP, not per byte, so seven field gathers cost 7x
-    one packed gather. Misses (id < 0) clamp to row 0 — callers mask on
-    hit anyway.
+    (pathtrace.cu:2327). Scene material tables are tiny (a handful of
+    rows), and the TPU lowers a [N]-index gather from a tiny table as a
+    real gather at {1,0} layout plus a full-array layout copy — measured
+    1.6 ms/bounce on a 640k wave (r5 xplane profile, ~25% of the whole
+    non-mesh iteration). Instead each scalar field is materialized by a
+    chain of M fused selects over scalar broadcasts: one elementwise
+    pass over [N] per field, all sharing the CSE'd (id == m) masks.
+    Misses (id < 0) clamp to row 0 — callers mask on hit anyway.
     """
     mid = jnp.maximum(material_id, 0)
-    packed = jnp.concatenate(
-        [
-            jnp.asarray(materials.color, jnp.float32),
-            jnp.asarray(materials.specular_color, jnp.float32),
-            jnp.asarray(materials.has_reflective, jnp.float32)[:, None],
-            jnp.asarray(materials.has_refractive, jnp.float32)[:, None],
-            jnp.asarray(materials.index_of_refraction, jnp.float32)[:, None],
-            jnp.asarray(materials.emittance, jnp.float32)[:, None],
-            jnp.asarray(materials.transmittance, jnp.float32),
-        ],
-        axis=1,
-    )  # [M, 13] — constant-folded at trace time
-    row = packed[mid]  # [N, 13] — the one gather
+    m_rows = int(jnp.shape(materials.emittance)[0])
+
+    def field(col):
+        col = jnp.asarray(col, jnp.float32)
+        if m_rows <= 16:
+            out = jnp.broadcast_to(col[0], mid.shape)
+            for m in range(1, m_rows):
+                out = jnp.where(mid == m, col[m], out)
+            return out
+        return col[mid]  # big tables: one row gather per field
+
+    def field3(mat3):
+        mat3 = jnp.asarray(mat3, jnp.float32)
+        return V3(field(mat3[:, 0]), field(mat3[:, 1]), field(mat3[:, 2]))
+
     return MaterialLanes(
-        color=row[:, 0:3],
-        specular_color=row[:, 3:6],
-        has_reflective=row[:, 6],
-        has_refractive=row[:, 7],
-        index_of_refraction=row[:, 8],
-        emittance=row[:, 9],
-        transmittance=row[:, 10:13],
+        color=field3(materials.color),
+        specular_color=field3(materials.specular_color),
+        has_reflective=field(materials.has_reflective),
+        has_refractive=field(materials.has_refractive),
+        index_of_refraction=field(materials.index_of_refraction),
+        emittance=field(materials.emittance),
+        transmittance=field3(materials.transmittance),
     )
 
 
 class ScatterResult(NamedTuple):
-    origin: jax.Array  # [N, 3]
-    direction: jax.Array  # [N, 3]
+    origin: V3  # V3 of [N]
+    direction: V3  # V3 of [N]
     is_inside: jax.Array  # [N] bool
     sdepth: jax.Array  # [N] f32
 
 
 def scatter(
-    origin,
-    direction,
+    origin: V3,
+    direction: V3,
     is_inside,
-    point,
-    normal,
+    point: V3,
+    normal: V3,
     mat: MaterialLanes,
-    u,  # [N, >=8] uniforms
+    u,  # tuple of >=8 [N] uniform columns (or [N, >=8] array)
     softness: float,
 ) -> ScatterResult:
     """Sample the next ray. Mirrors scatterRay (interactions.h:195-358).
@@ -93,90 +102,106 @@ def scatter(
     ``u`` columns: 0=branch pick, 1/2=diffuse, 3/4=cone jitter,
     5=reflect-vs-diffuse pick, 6=refract-vs-diffuse pick.
     """
-    direction = vm.normalize(direction)
-    normal_n = vm.normalize(normal)
+    if not isinstance(origin, V3):
+        origin = vm.v3_from_rows(origin)
+    if not isinstance(direction, V3):
+        direction = vm.v3_from_rows(direction)
+    if not isinstance(point, V3):
+        point = vm.v3_from_rows(point)
+    if not isinstance(normal, V3):
+        normal = vm.v3_from_rows(normal)
+    if not isinstance(u, (tuple, list)):
+        u = tuple(u[:, j] for j in range(u.shape[1]))
 
-    diffuse_dir = sampling.cosine_hemisphere(normal_n, u[:, 1], u[:, 2])
+    direction = vm.normalizev(direction)
+    normal_n = vm.normalizev(normal)
+
+    diffuse_dir = sampling.cosine_hemisphere_v(normal_n, u[1], u[2])
     diffuse_origin = point + normal_n * 1e-5
 
+    zero = jnp.zeros_like(u[0])
+
     # --- Branch 1: SSS (interactions.h:205-229) -------------------------
-    sss_cone = sampling.rand_spherical_vec(0.0001, u[:, 3], u[:, 4])
-    sss_dir = sampling.rotate_cone_sample(direction, sss_cone)
+    sss_cone = sampling.rand_spherical_vec_v(0.0001, u[3], u[4])
+    sss_dir = sampling.rotate_cone_sample_v(direction, sss_cone)
     # Reference quirk kept: the SSS-entry ray restarts from the *old*
     # origin (+eps), not the hit point, and sdepth = |origin - hit|.
     sss_origin = origin + sss_dir * 1e-4
-    sss_sdepth = vm.safe_norm(sss_origin - point)
-    sss_enter = (u[:, 0] < 0.5) & ~is_inside
+    sss_sdepth = vm.safe_normv(sss_origin - point)
+    sss_enter = (u[0] < 0.5) & ~is_inside
 
     sss_res = ScatterResult(
-        origin=jnp.where(sss_enter[:, None], sss_origin, diffuse_origin),
-        direction=jnp.where(sss_enter[:, None], sss_dir, diffuse_dir),
+        origin=vm.wherev(sss_enter, sss_origin, diffuse_origin),
+        direction=vm.wherev(sss_enter, sss_dir, diffuse_dir),
         is_inside=jnp.where(sss_enter, True, is_inside),
         sdepth=jnp.where(sss_enter, sss_sdepth, 0.0),
     )
 
     # --- Branch 2: refractive (interactions.h:230-310) ------------------
-    fresnel = sampling.schlick_fresnel(direction, normal_n, mat.index_of_refraction)
-    transmit_pick = u[:, 0] < (1.0 - fresnel)
+    fresnel = sampling.schlick_fresnel_v(direction, normal_n,
+                                         mat.index_of_refraction)
+    transmit_pick = u[0] < (1.0 - fresnel)
 
     ior_eff = jnp.where(
-        is_inside, mat.index_of_refraction, 1.0 / jnp.maximum(mat.index_of_refraction, 1e-6)
+        is_inside, mat.index_of_refraction,
+        1.0 / jnp.maximum(mat.index_of_refraction, 1e-6)
     )
-    cos_nd = vm.dot(normal_n, direction)
+    cos_nd = vm.dotv(normal_n, direction)
     k = 1.0 - ior_eff * ior_eff * (1.0 - cos_nd * cos_nd)
     will_reflect_internally = k < 0.0  # "angle < 0" test (interactions.h:248-250)
 
-    mirror_dir = vm.normalize(vm.reflect(direction, normal_n))
+    mirror_dir = vm.normalizev(vm.reflectv(direction, normal_n))
     if softness > 0.0:
-        cone = sampling.rand_spherical_vec(0.02, u[:, 3], u[:, 4])
-        soft_mirror = sampling.rotate_cone_sample(mirror_dir, cone)
+        cone = sampling.rand_spherical_vec_v(0.02, u[3], u[4])
+        soft_mirror = sampling.rotate_cone_sample_v(mirror_dir, cone)
     else:
         soft_mirror = mirror_dir
 
-    refract_dir = vm.refract(direction, normal_n, ior_eff)
+    refract_dir = vm.refractv(direction, normal_n, ior_eff)
     if softness > 0.0:
-        cone2 = sampling.rand_spherical_vec(0.02, u[:, 3], u[:, 4])
-        refract_dir_j = sampling.rotate_cone_sample(vm.normalize(refract_dir), cone2)
+        cone2 = sampling.rand_spherical_vec_v(0.02, u[3], u[4])
+        refract_dir_j = sampling.rotate_cone_sample_v(
+            vm.normalizev(refract_dir), cone2)
     else:
         refract_dir_j = refract_dir
 
     # TIR sub-branch: probabilistic reflect vs diffuse
-    tir_reflect = u[:, 5] < mat.has_reflective
-    tir_dir = jnp.where(tir_reflect[:, None], soft_mirror, diffuse_dir)
+    tir_reflect = u[5] < mat.has_reflective
+    tir_dir = vm.wherev(tir_reflect, soft_mirror, diffuse_dir)
     tir_origin = point + normal_n * 1e-5
 
     # Refract sub-branch: probabilistic refract vs diffuse
-    do_refract = u[:, 6] < mat.has_refractive
-    refr_dir = jnp.where(do_refract[:, None], refract_dir_j, diffuse_dir)
-    refr_origin = jnp.where(
-        do_refract[:, None], point - normal_n * 1e-3, point + normal_n * 1e-5
+    do_refract = u[6] < mat.has_refractive
+    refr_dir = vm.wherev(do_refract, refract_dir_j, diffuse_dir)
+    refr_origin = vm.wherev(
+        do_refract, point - normal_n * 1e-3, point + normal_n * 1e-5
     )
     refr_inside = jnp.where(do_refract, ~is_inside, is_inside)
 
-    transmit_dir = jnp.where(will_reflect_internally[:, None], tir_dir, refr_dir)
-    transmit_origin = jnp.where(
-        will_reflect_internally[:, None], tir_origin, refr_origin
-    )
-    transmit_inside = jnp.where(will_reflect_internally, is_inside, refr_inside)
+    transmit_dir = vm.wherev(will_reflect_internally, tir_dir, refr_dir)
+    transmit_origin = vm.wherev(will_reflect_internally, tir_origin,
+                                refr_origin)
+    transmit_inside = jnp.where(will_reflect_internally, is_inside,
+                                refr_inside)
 
     # Fresnel-reflect branch (interactions.h:304-308)
     fres_dir = mirror_dir
     fres_origin = point + normal_n * 1e-5
 
     refractive_res = ScatterResult(
-        origin=jnp.where(transmit_pick[:, None], transmit_origin, fres_origin),
-        direction=jnp.where(transmit_pick[:, None], transmit_dir, fres_dir),
+        origin=vm.wherev(transmit_pick, transmit_origin, fres_origin),
+        direction=vm.wherev(transmit_pick, transmit_dir, fres_dir),
         is_inside=jnp.where(transmit_pick, transmit_inside, False),
-        sdepth=jnp.zeros_like(u[:, 0]),
+        sdepth=zero,
     )
 
     # --- Branch 3: reflective (interactions.h:312-339) ------------------
-    do_mirror = u[:, 0] < mat.has_reflective
+    do_mirror = u[0] < mat.has_reflective
     reflective_res = ScatterResult(
-        origin=jnp.where(do_mirror[:, None], point + normal_n * 1e-4, diffuse_origin),
-        direction=jnp.where(do_mirror[:, None], soft_mirror, diffuse_dir),
+        origin=vm.wherev(do_mirror, point + normal_n * 1e-4, diffuse_origin),
+        direction=vm.wherev(do_mirror, soft_mirror, diffuse_dir),
         is_inside=jnp.where(do_mirror, False, is_inside),
-        sdepth=jnp.zeros_like(u[:, 0]),
+        sdepth=zero,
     )
 
     # --- Branch 4: diffuse (interactions.h:340-357) ---------------------
@@ -184,18 +209,19 @@ def scatter(
         origin=diffuse_origin,
         direction=diffuse_dir,
         is_inside=jnp.zeros_like(is_inside),
-        sdepth=jnp.zeros_like(u[:, 0]),
+        sdepth=zero,
     )
 
     # --- Compose the priority chain -------------------------------------
-    has_sss = jnp.any(mat.transmittance > 0.0, axis=-1)
+    t3 = mat.transmittance
+    has_sss = (t3.x > 0.0) | (t3.y > 0.0) | (t3.z > 0.0)
     has_refr = mat.has_refractive != 0.0
     has_refl = mat.has_reflective != 0.0
 
     def pick(cond, a: ScatterResult, b: ScatterResult) -> ScatterResult:
         return ScatterResult(
-            origin=jnp.where(cond[:, None], a.origin, b.origin),
-            direction=jnp.where(cond[:, None], a.direction, b.direction),
+            origin=vm.wherev(cond, a.origin, b.origin),
+            direction=vm.wherev(cond, a.direction, b.direction),
             is_inside=jnp.where(cond, a.is_inside, b.is_inside),
             sdepth=jnp.where(cond, a.sdepth, b.sdepth),
         )

@@ -19,17 +19,24 @@ import jax.numpy as jnp
 
 from kdtreepathtraceroptimization_tpu.config import RenderConfig
 from kdtreepathtraceroptimization_tpu.ops import sampling, vecmath as vm
-from kdtreepathtraceroptimization_tpu.ops.rng import uniforms
+from kdtreepathtraceroptimization_tpu.ops.rng import uniform_cols
+from kdtreepathtraceroptimization_tpu.ops.vecmath import V3
 from kdtreepathtraceroptimization_tpu.scene.structs import Camera
 
 
 class RaySoA(NamedTuple):
     """Wavefront path state — SoA version of PathSegment + Ray
-    (reference: sceneStructs.h:15-24, 66-74)."""
+    (reference: sceneStructs.h:15-24, 66-74).
 
-    origin: jax.Array  # [N, 3] f32
-    direction: jax.Array  # [N, 3] f32
-    color: jax.Array  # [N, 3] f32 throughput
+    Vector fields are channel-split ``vm.V3`` of [N] arrays (the
+    TPU-fast layout; vecmath.py documents the measured 10x gap vs
+    [N, 3] tiles). Every pytree leaf is therefore a flat [N] array,
+    which also makes the compaction sort's multi-operand form trivial.
+    """
+
+    origin: V3  # V3 of [N] f32
+    direction: V3  # V3 of [N] f32
+    color: V3  # V3 of [N] f32 throughput
     is_inside: jax.Array  # [N] bool
     sdepth: jax.Array  # [N] f32 subsurface depth
     pixel_index: jax.Array  # [N] int32
@@ -154,44 +161,48 @@ def generate_rays(
     x = (idx % res_x).astype(jnp.float32)
     y = (idx // res_x).astype(jnp.float32)
 
-    view = jnp.asarray(camera.view)
-    up = jnp.asarray(camera.up)
-    right = jnp.asarray(camera.right)
-    position = jnp.asarray(camera.position)
+    view = vm.v3_splat(camera.view)
+    up = vm.v3_splat(camera.up)
+    right = vm.v3_splat(camera.right)
     pl = jnp.asarray(camera.pixel_length)
     px, py = pl[0], pl[1]
 
-    direction = vm.normalize(
-        view[None, :]
-        + right[None, :] * (px * (x - res_x * 0.5))[:, None]
-        - up[None, :] * (py * (y - res_y * 0.5))[:, None]
-    )
+    sx = px * (x - res_x * 0.5)
+    sy = py * (y - res_y * 0.5)
+    direction = vm.normalizev(view + right * sx - up * sy)
 
-    u = uniforms(key, n, 8)
+    u = uniform_cols(key, n, 6)
 
     if config.antialias:
         # "cheap jitter" path (pathtrace.cu:341-350): add a random
         # positive-octant unit vector scaled by jitterscale.
-        v3 = vm.normalize(u[:, 0:3])
-        direction = vm.normalize(direction + v3 * config.aa_jitter_scale)
+        j = vm.normalizev(V3(u[0], u[1], u[2]))
+        direction = vm.normalizev(direction + j * config.aa_jitter_scale)
 
-    origin = jnp.broadcast_to(position[None, :], (n, 3))
+    position = jnp.asarray(camera.position)
+    origin = V3(
+        jnp.broadcast_to(position[0], (n,)),
+        jnp.broadcast_to(position[1], (n,)),
+        jnp.broadcast_to(position[2], (n,)),
+    )
 
     if config.dof_angle > 0.0:
         # Depth of field (pathtrace.cu:364-393): rotate the ray direction
         # by a random small quaternion and pivot the origin about the
         # focal point so the focal plane stays sharp.
-        axis = sampling.uniform_sphere(u[:, 3], u[:, 4])
-        rand_angle = u[:, 5] * jnp.pi * config.dof_angle
-        randrot = vm.quat_rotate(direction, axis, rand_angle)
-        randrot = vm.normalize(randrot)
-        origin = origin + direction * config.focal_length - randrot * config.focal_length
+        axis = sampling.uniform_sphere_v(u[3], u[4])
+        rand_angle = u[5] * jnp.pi * config.dof_angle
+        randrot = vm.normalizev(
+            vm.rotate_about_axisv(direction, axis, rand_angle))
+        origin = (origin + direction * config.focal_length
+                  - randrot * config.focal_length)
         direction = randrot
 
+    one = jnp.ones((n,), jnp.float32)
     return RaySoA(
         origin=origin,
         direction=direction,
-        color=jnp.ones((n, 3), jnp.float32),
+        color=V3(one, one, one),
         is_inside=jnp.zeros((n,), jnp.bool_),
         sdepth=jnp.zeros((n,), jnp.float32),
         pixel_index=idx,

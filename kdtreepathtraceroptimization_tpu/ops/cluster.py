@@ -53,6 +53,7 @@ import jax
 import jax.numpy as jnp
 
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
 from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
 from kdtreepathtraceroptimization_tpu.ops import mxu_bf
 
@@ -569,6 +570,8 @@ def intersect_mesh_cluster(origin, direction, cm: ClusterMesh, config,
     See module docstring. ``t_init`` bounds the search (analytic geoms
     first); ``active`` lanes skip culling and can never flag.
     """
+    origin = vm.as_rows(origin)
+    direction = vm.as_rows(direction)
     n = origin.shape[0]
     tile = config.cluster_tile
     rounds = config.cluster_rounds

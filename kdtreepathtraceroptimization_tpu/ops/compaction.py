@@ -41,17 +41,18 @@ def _sort_rays_by_key(rays: RaySoA, key: jax.Array):
      o0, o1, o2, d0, d1, d2, c0, c1, c2,
      inside, sdepth, pix, rem) = jax.lax.sort(
         (key, lane,
-         o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         c[:, 0], c[:, 1], c[:, 2],
+         o.x, o.y, o.z, d.x, d.y, d.z, c.x, c.y, c.z,
          rays.is_inside.astype(jnp.int32), rays.sdepth,
          rays.pixel_index, rays.remaining_bounces),
         num_keys=1,
         is_stable=True,
     )
+    from kdtreepathtraceroptimization_tpu.ops.vecmath import V3
+
     out = RaySoA(
-        origin=jnp.stack([o0, o1, o2], axis=1),
-        direction=jnp.stack([d0, d1, d2], axis=1),
-        color=jnp.stack([c0, c1, c2], axis=1),
+        origin=V3(o0, o1, o2),
+        direction=V3(d0, d1, d2),
+        color=V3(c0, c1, c2),
         is_inside=inside.astype(jnp.bool_),
         sdepth=sdepth,
         pixel_index=pix,
@@ -92,9 +93,9 @@ def sort_rays_by_octant(rays: RaySoA) -> RaySoA:
     gathers coalesce."""
     d = rays.direction
     octant = (
-        (d[:, 0] >= 0).astype(jnp.int32)
-        + 2 * (d[:, 1] >= 0).astype(jnp.int32)
-        + 4 * (d[:, 2] >= 0).astype(jnp.int32)
+        (d.x >= 0).astype(jnp.int32)
+        + 2 * (d.y >= 0).astype(jnp.int32)
+        + 4 * (d.z >= 0).astype(jnp.int32)
     )
     key = jnp.where(rays.remaining_bounces > 0, octant, jnp.int32(8))
     out, _ = _sort_rays_by_key(rays, key)

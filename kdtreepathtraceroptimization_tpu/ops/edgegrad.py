@@ -223,9 +223,11 @@ def boundary_image_grad(
         )
         n = d.shape[0]
         return RaySoA(
-            origin=jnp.broadcast_to(cam_pos[None, :], (n, 3)),
-            direction=d,
-            color=jnp.ones((n, 3), jnp.float32),
+            origin=vm.v3_from_rows(jnp.broadcast_to(cam_pos[None, :], (n, 3))),
+            direction=vm.v3_from_rows(d),
+            color=vm.V3(jnp.ones((n,), jnp.float32),
+                        jnp.ones((n,), jnp.float32),
+                        jnp.ones((n,), jnp.float32)),
             is_inside=jnp.zeros((n,), jnp.bool_),
             sdepth=jnp.zeros((n,), jnp.float32),
             pixel_index=pixel,  # same stream for both sides: CRN
@@ -354,9 +356,9 @@ def boundary_secondary_grad(
         & (vmat.has_reflective <= 0.0)
         & (vmat.has_refractive <= 0.0)
     )
-    y = jax.lax.stop_gradient(vhit.point)                    # [M, 3]
-    nrm_y = jax.lax.stop_gradient(vhit.normal)
-    albedo = jax.lax.stop_gradient(vmat.color)               # [M, 3]
+    y = jax.lax.stop_gradient(vm.v3_to_rows(vhit.point))     # [M, 3]
+    nrm_y = jax.lax.stop_gradient(vm.v3_to_rows(vhit.normal))
+    albedo = jax.lax.stop_gradient(vm.v3_to_rows(vmat.color))  # [M, 3]
 
     # --- 2. silhouette per (viewpoint, edge) --------------------------
     fn, v0f = _face_normals(jax.lax.stop_gradient(verts), faces)
@@ -411,10 +413,12 @@ def boundary_secondary_grad(
         d = vm.normalize(
             (w_dir + sign * delta * n_hat).reshape(R, 3))
         rays = RaySoA(
-            origin=jnp.broadcast_to(
-                origin_probe[:, None, None, :], (M, E, K, 3)).reshape(R, 3),
-            direction=d,
-            color=jnp.ones((R, 3), jnp.float32),
+            origin=vm.v3_from_rows(jnp.broadcast_to(
+                origin_probe[:, None, None, :], (M, E, K, 3)).reshape(R, 3)),
+            direction=vm.v3_from_rows(d),
+            color=vm.V3(jnp.ones((R,), jnp.float32),
+                        jnp.ones((R,), jnp.float32),
+                        jnp.ones((R,), jnp.float32)),
             is_inside=jnp.zeros((R,), jnp.bool_),
             sdepth=jnp.zeros((R,), jnp.float32),
             pixel_index=pix_rep,  # same stream both sides: CRN

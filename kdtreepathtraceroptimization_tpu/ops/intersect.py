@@ -26,11 +26,15 @@ BIG = 1e30
 
 class Hit(NamedTuple):
     """Nearest-hit record — SoA ShadeableIntersection
-    (reference: sceneStructs.h:80-85) plus the hit point."""
+    (reference: sceneStructs.h:80-85) plus the hit point.
+
+    ``point``/``normal`` are channel-split ``vm.V3`` of [N] arrays (the
+    TPU-fast layout — see vecmath.py); use ``vm.v3_to_rows`` for an
+    [N, 3] view at module boundaries."""
 
     t: jax.Array  # [N] f32, BIG = miss
-    point: jax.Array  # [N, 3]
-    normal: jax.Array  # [N, 3]
+    point: vm.V3  # V3 of [N]
+    normal: vm.V3  # V3 of [N]
     material_id: jax.Array  # [N] int32
     outside: jax.Array  # [N] bool
 
@@ -40,8 +44,8 @@ def _min_hit(a: Hit, b: Hit) -> Hit:
     take_a = a.t <= b.t
     return Hit(
         t=jnp.where(take_a, a.t, b.t),
-        point=jnp.where(take_a[:, None], a.point, b.point),
-        normal=jnp.where(take_a[:, None], a.normal, b.normal),
+        point=vm.wherev(take_a, a.point, b.point),
+        normal=vm.wherev(take_a, a.normal, b.normal),
         material_id=jnp.where(take_a, a.material_id, b.material_id),
         outside=jnp.where(take_a, a.outside, b.outside),
     )
@@ -50,8 +54,8 @@ def _min_hit(a: Hit, b: Hit) -> Hit:
 def miss_hit(n: int) -> Hit:
     return Hit(
         t=jnp.full((n,), BIG, jnp.float32),
-        point=jnp.zeros((n, 3), jnp.float32),
-        normal=jnp.zeros((n, 3), jnp.float32),
+        point=vm.v3_zeros(n),
+        normal=vm.v3_zeros(n),
         material_id=jnp.full((n,), -1, jnp.int32),
         outside=jnp.ones((n,), jnp.bool_),
     )
@@ -60,6 +64,120 @@ def miss_hit(n: int) -> Hit:
 # ---------------------------------------------------------------------------
 # Analytic geoms: unit cube / unit sphere under affine transforms
 # ---------------------------------------------------------------------------
+
+
+def _xform_point(m, p: vm.V3) -> vm.V3:
+    """Apply one [4, 4] matrix (scalar entries) to a V3 batch (w=1)."""
+    return vm.V3(
+        m[0, 0] * p.x + m[0, 1] * p.y + m[0, 2] * p.z + m[0, 3],
+        m[1, 0] * p.x + m[1, 1] * p.y + m[1, 2] * p.z + m[1, 3],
+        m[2, 0] * p.x + m[2, 1] * p.y + m[2, 2] * p.z + m[2, 3],
+    )
+
+
+def _xform_vector(m, v: vm.V3) -> vm.V3:
+    """Apply one [4, 4] matrix to a V3 batch of directions (w=0)."""
+    return vm.V3(
+        m[0, 0] * v.x + m[0, 1] * v.y + m[0, 2] * v.z,
+        m[1, 0] * v.x + m[1, 1] * v.y + m[1, 2] * v.z,
+        m[2, 0] * v.x + m[2, 1] * v.y + m[2, 2] * v.z,
+    )
+
+
+def _box_test_g(qo: vm.V3, qd: vm.V3, tr):
+    """Channel-split slab test vs the centered unit cube, ONE geom.
+
+    Mirrors boxIntersectionTest (reference: intersections.h:107-149)
+    including its quirks: the entry slab must have ta > 0 to count
+    toward tmin, and an inside ray (tmin <= 0) reports the exit face
+    with outside=False. Normals are pushed through ``tr`` (not
+    inverse-transpose — reference behavior, exact for the rigid+scale
+    transforms the parser builds). Axis-parallel rays are handled
+    explicitly (the reference's IEEE-inf division poisons reverse-mode
+    AD). Argmax/argmin over the 3 axes become first-true compare chains
+    (identical tie-breaks).
+
+    qo/qd: object-space ray batch as V3 of [N]; tr: [4, 4].
+    Returns (hit [N], p_world V3, n_world V3, outside [N]).
+    """
+    ta = []
+    tb = []
+    nsign = []
+    for o_a, d_a in ((qo.x, qd.x), (qo.y, qd.y), (qo.z, qd.z)):
+        par = jnp.abs(d_a) < 1e-12
+        inv_d = 1.0 / jnp.where(par, 1.0, d_a)
+        t1 = (-0.5 - o_a) * inv_d
+        t2 = (0.5 - o_a) * inv_d
+        inside_slab = (o_a >= -0.5) & (o_a <= 0.5)
+        ta.append(jnp.where(par, jnp.where(inside_slab, -BIG, BIG),
+                            jnp.minimum(t1, t2)))
+        tb.append(jnp.where(par, jnp.where(inside_slab, BIG, -BIG),
+                            jnp.maximum(t1, t2)))
+        nsign.append(jnp.where(t2 < t1, 1.0, -1.0))
+
+    tav = [jnp.where(t > 0, t, -BIG) for t in ta]
+    tmin = jnp.maximum(jnp.maximum(tav[0], tav[1]), tav[2])
+    # first-max / first-min one-hots (same tie-break as argmax/argmin)
+    en_x = (tav[0] >= tav[1]) & (tav[0] >= tav[2])
+    en_y = ~en_x & (tav[1] >= tav[2])
+    en_z = ~en_x & ~en_y
+    tmax = jnp.minimum(jnp.minimum(tb[0], tb[1]), tb[2])
+    ex_x = (tb[0] <= tb[1]) & (tb[0] <= tb[2])
+    ex_y = ~ex_x & (tb[1] <= tb[2])
+    ex_z = ~ex_x & ~ex_y
+
+    hit = (tmax >= tmin) & (tmax > 0)
+    inside = tmin <= 0
+    t_obj = jnp.where(hit, jnp.where(inside, tmax, tmin), 0.0)
+    oh_x = jnp.where(inside, ex_x, en_x)
+    oh_y = jnp.where(inside, ex_y, en_y)
+    oh_z = jnp.where(inside, ex_z, en_z)
+    outside = hit & ~inside
+
+    # Same per-axis sign for entry and exit faces (reference
+    # intersections.h:124-135): exit normals point back inward.
+    sign = jnp.where(oh_x, nsign[0], jnp.where(oh_y, nsign[1], nsign[2]))
+    n_obj = vm.V3(
+        jnp.where(oh_x, sign, 0.0),
+        jnp.where(oh_y, sign, 0.0),
+        jnp.where(oh_z, sign, 0.0),
+    )
+
+    p_obj = qo + qd * t_obj
+    p_world = _xform_point(tr, p_obj)
+    n_world = vm.normalizev(_xform_vector(tr, n_obj))
+    return hit, p_world, n_world, outside
+
+
+def _sphere_test_g(qo: vm.V3, qd: vm.V3, tr, inv_t):
+    """Channel-split unit-sphere (radius 0.5) quadratic, ONE geom.
+
+    Mirrors sphereIntersectionTest (reference: intersections.h:161-203):
+    normal via inverse-transpose, flipped when the ray starts inside.
+    """
+    radius = 0.5
+    v_dot_d = vm.dotv(qo, qd)
+    radicand = v_dot_d * v_dot_d - (vm.dotv(qo, qo) - radius * radius)
+    has_root = radicand >= 0
+    # Double-where: sqrt must never see the no-root branch even with a
+    # zero cotangent — sqrt'(0) = inf makes 0 * inf = NaN in reverse mode.
+    sq = jnp.sqrt(jnp.where(has_root, jnp.maximum(radicand, 1e-12), 1.0))
+    sq = jnp.where(has_root, sq, 0.0)
+    t1 = -v_dot_d + sq
+    t2 = -v_dot_d - sq
+    both_neg = (t1 < 0) & (t2 < 0)
+    both_pos = (t1 > 0) & (t2 > 0)
+    outside = both_pos
+    hit = has_root & ~both_neg
+    t_obj = jnp.where(
+        hit, jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2)), 0.0
+    )
+
+    p_obj = qo + qd * t_obj
+    p_world = _xform_point(tr, p_obj)
+    n_world = vm.normalizev(_xform_vector(inv_t, p_obj))
+    n_world = vm.wherev(outside, n_world, -n_world)
+    return hit, p_world, n_world, outside
 
 
 def _box_test(q_origin, q_dir, transform):
@@ -168,64 +286,79 @@ def intersect_geoms(origin, direction, geoms) -> Hit:
     """Nearest hit of [N] rays against all analytic geoms.
 
     Replaces the per-thread geom loop in pathTraceOneBounce
-    (reference: pathtrace.cu:461-484) with one [N, G] broadcast; the
-    nearest hit is a min-reduction over the geom axis. Like the
-    reference, t is the *world-space distance* |origin - point| (both
-    box and sphere tests return glm::length(r.origin - intersectionPoint)).
+    (reference: pathtrace.cu:461-484). Channel-split redesign (r5): a
+    STATIC Python loop over the few analytic geoms, each emitting one
+    fused elementwise block over [N] channel arrays, merged
+    sequentially with strict-< (keeps the FIRST of equal hits, exactly
+    like the reference's sequential ``t < t_min`` loop and the previous
+    argmin form). The old [N, G] broadcast held vectors as [N, G, 3]
+    tiles whose masked reductions cost ~1.3 ms/bounce at 640k rays;
+    this form is pure [N]-elementwise and fuses end-to-end.
+
+    When ``geoms.type`` is concrete (numpy — the production path via
+    _hoist_tables' small-leaf rule) only the matching test is emitted
+    per geom; with traced types both tests run, selected per geom.
+
+    Like the reference, t is the *world-space distance*
+    |origin - point| (both tests return glm::length(r.origin - point)).
+
+    ``origin``/``direction``: V3 of [N] or [N, 3] arrays.
     """
-    n = origin.shape[0]
+    if not isinstance(origin, vm.V3):
+        origin = vm.v3_from_rows(jnp.asarray(origin))
+    if not isinstance(direction, vm.V3):
+        direction = vm.v3_from_rows(jnp.asarray(direction))
+    n = origin.x.shape[0]
     g = geoms.type.shape[0]
     if g == 0:
         return miss_hit(n)
 
-    inv = jnp.asarray(geoms.inverse_transform)  # [G, 4, 4]
-    tr = jnp.asarray(geoms.transform)
-    inv_t = jnp.asarray(geoms.inv_transpose)
-    gtype = jnp.asarray(geoms.type)
-    mat_id = jnp.asarray(geoms.material_id)
+    import numpy as _np
 
-    # Object-space rays: [N, G, 3]
-    q_o = vm.transform_point(inv[None, :, :, :], origin[:, None, :])
-    q_d = vm.normalize(vm.transform_vector(inv[None, :, :, :], direction[:, None, :]))
+    inv = geoms.inverse_transform  # [G, 4, 4]
+    tr = geoms.transform
+    inv_t = geoms.inv_transpose
+    types_concrete = isinstance(geoms.type, _np.ndarray)
+    gtype = geoms.type if types_concrete else jnp.asarray(geoms.type)
+    mat_id = geoms.material_id
 
-    box_hit, box_p, box_n, box_out = _box_test(q_o, q_d, tr)
-    sph_hit, sph_p, sph_n, sph_out = _sphere_test(q_o, q_d, tr, inv_t)
+    best = miss_hit(n)
+    for gi in range(g):
+        inv_g = jnp.asarray(inv[gi])
+        tr_g = jnp.asarray(tr[gi])
+        qo = _xform_point(inv_g, origin)
+        qd = vm.normalizev(_xform_vector(inv_g, direction))
 
-    is_box = (gtype == GEOM_CUBE)[None, :]
-    hit = jnp.where(is_box, box_hit, sph_hit)
-    point = jnp.where(is_box[..., None], box_p, sph_p)
-    normal = jnp.where(is_box[..., None], box_n, sph_n)
-    outside = jnp.where(is_box, box_out, sph_out)
+        if types_concrete:
+            if int(gtype[gi]) == GEOM_CUBE:
+                hit, p, nrm, outs = _box_test_g(qo, qd, tr_g)
+            else:
+                hit, p, nrm, outs = _sphere_test_g(qo, qd, tr_g,
+                                                   jnp.asarray(inv_t[gi]))
+        else:
+            bh, bp, bn, bo = _box_test_g(qo, qd, tr_g)
+            sh, sp, sn, so = _sphere_test_g(qo, qd, tr_g,
+                                            jnp.asarray(inv_t[gi]))
+            is_box = gtype[gi] == GEOM_CUBE
+            hit = jnp.where(is_box, bh, sh)
+            p = vm.wherev(is_box, bp, sp)
+            nrm = vm.wherev(is_box, bn, sn)
+            outs = jnp.where(is_box, bo, so)
 
-    t = jnp.where(hit, vm.safe_norm(point - origin[:, None, :]), BIG)
-
-    # Nearest over the geom axis. Miss lanes are sanitized to zeros:
-    # the un-hit branches carry huge/garbage positions (t_obj ~ ±BIG
-    # through the transform) that would otherwise overflow downstream
-    # math and poison reverse-mode AD.
-    #
-    # The winner is selected by a first-true mask + masked sum, NOT by
-    # argmin + [rows, best] gathers: each of those per-lane gathers over
-    # the tiny geom axis cost ~140 ms at 640k lanes on TPU (profiled,
-    # exp/prof_nomesh.py) where the dense mask-reduce fuses into the
-    # tests themselves. Ties resolve to the lowest geom index, exactly
-    # like argmin (and the reference's sequential `t < t_min` loop,
-    # pathtrace.cu:462-483, which keeps the FIRST of equal hits).
-    t_best = jnp.min(t, axis=1)
-    is_min = t == t_best[:, None]
-    first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
-    firstf = first.astype(t.dtype)
-    is_hit = t_best < BIG
-    hitf = is_hit.astype(t.dtype)[:, None]
-    return Hit(
-        t=t_best,
-        point=jnp.sum(point * firstf[..., None], axis=1) * hitf,
-        normal=jnp.sum(normal * firstf[..., None], axis=1) * hitf,
-        material_id=jnp.where(
-            is_hit, jnp.sum(mat_id[None, :] * first, axis=1), -1
-        ),
-        outside=jnp.any(outside & first, axis=1),
-    )
+        t_g = jnp.where(hit, vm.safe_normv(p - origin), BIG)
+        # Miss lanes sanitize to zeros (huge t_obj positions would
+        # overflow downstream math and poison reverse-mode AD).
+        hf = hit.astype(t_g.dtype)
+        upd = t_g < best.t
+        best = Hit(
+            t=jnp.where(upd, t_g, best.t),
+            point=vm.wherev(upd, p * hf, best.point),
+            normal=vm.wherev(upd, nrm * hf, best.normal),
+            material_id=jnp.where(upd, jnp.asarray(mat_id[gi], jnp.int32),
+                                  best.material_id),
+            outside=jnp.where(upd, outs, best.outside),
+        )
+    return best
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,8 @@ def intersect_mesh_brute(
     (pathtrace.cu:497-507 with the 0.01 pad): rays that miss every
     shape's padded AABB skip triangle work entirely (lane-masked).
     """
+    origin = vm.as_rows(origin)
+    direction = vm.as_rows(direction)
     n = origin.shape[0]
     v0 = jnp.asarray(mesh.v0)
     v1 = jnp.asarray(mesh.v1)
@@ -144,20 +146,47 @@ def _refine_tri_hit_verts(origin, direction, v0, v1, v2):
     return t, u, v
 
 
+def _refine_tri_hit_verts_v(origin: vm.V3, direction: vm.V3,
+                            v0: vm.V3, v1: vm.V3, v2: vm.V3):
+    """Channel-split twin of _refine_tri_hit_verts (same math/clamps)."""
+    e1 = v1 - v0
+    e2 = v2 - v0
+    p = vm.crossv(direction, e2)
+    a = vm.dotv(e1, p)
+    safe = jnp.abs(a) > 1e-12
+    a_clamped = jnp.where(a >= 0, 1.0, -1.0) * jnp.maximum(jnp.abs(a), 1e-6)
+    f = 1.0 / jnp.where(safe, a_clamped, 1.0)
+    s = origin - v0
+    u = f * vm.dotv(s, p)
+    q = vm.crossv(s, e1)
+    v = f * vm.dotv(direction, q)
+    t = f * vm.dotv(e2, q)
+    return t, u, v
+
+
 def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
     """Expand a TriHit into a full Hit record (normal interpolation +
     offset point, reference: pathtrace.cu:981-1007). t/u/v are
     differentiably recomputed from the winning triangle (refine_tri_hit),
-    so the loop-computed values only pick the winner.
+    so the loop-computed values only pick the winner — and gradients
+    w.r.t. ``mesh.v0/v1/v2`` flow through the packed-row gather, which
+    is how the production (pairs) intersector is differentiable.
 
     All per-triangle fields are pulled through ONE [T, 19]-row gather:
     a TPU gather costs ~7 ns per ROW regardless of width (measured,
     exp/gather_micro.py), so seven separate field gathers at 640k lanes
     were ~30 ms/bounce where the packed row is ~5 ms. The packed table
     is built from the SoA fields inside the jit — a [T, 19] concat is
-    ~0.1 ms at 100k tris and XLA CSEs it across bounces.
+    ~0.1 ms at 100k tris and XLA CSEs it across bounces. Downstream
+    math is channel-split (V3 of [N]) — see vecmath.py.
+
+    ``origin``/``direction``: V3 of [N] or [N, 3].
     """
-    n = origin.shape[0]
+    if not isinstance(origin, vm.V3):
+        origin = vm.v3_from_rows(jnp.asarray(origin))
+    if not isinstance(direction, vm.V3):
+        direction = vm.v3_from_rows(jnp.asarray(direction))
+    n = origin.x.shape[0]
     is_hit = tri_hit.tri >= 0
     tri = jnp.maximum(tri_hit.tri, 0)
 
@@ -170,20 +199,28 @@ def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
         axis=1,
     )  # [T, 19]
     rowst = packed[jax.lax.stop_gradient(tri)]
-    v0, v1, v2 = rowst[:, 0:3], rowst[:, 3:6], rowst[:, 6:9]
-    n0, n1, n2 = rowst[:, 9:12], rowst[:, 12:15], rowst[:, 15:18]
+
+    def col3(j):
+        return vm.V3(rowst[:, j], rowst[:, j + 1], rowst[:, j + 2])
+
+    v0, v1, v2 = col3(0), col3(3), col3(6)
+    n0, n1, n2 = col3(9), col3(12), col3(15)
     mat_id = rowst[:, 18].astype(jnp.int32)
 
-    t, u, v = _refine_tri_hit_verts(origin, direction, v0, v1, v2)
+    t, u, v = _refine_tri_hit_verts_v(origin, direction, v0, v1, v2)
     # Guard: if the refined eval disagrees wildly (degenerate padding
     # triangle on a miss lane), fall back to the loop values.
     t = jnp.where(is_hit, t, BIG)
 
-    point, normal = isect.interpolate_tri_hit(origin, direction, t, u, v, n0, n1, n2)
+    w = 1.0 - u - v
+    normal = vm.normalizev(n0 * w + n1 * u + n2 * v)
+    point = origin + direction * t + normal * 1e-4
+    zero = jnp.zeros_like(t)
+    zv = vm.V3(zero, zero, zero)
     return Hit(
         t=t,
-        point=jnp.where(is_hit[:, None], point, 0.0),
-        normal=jnp.where(is_hit[:, None], normal, 0.0),
+        point=vm.wherev(is_hit, point, zv),
+        normal=vm.wherev(is_hit, normal, zv),
         material_id=jnp.where(is_hit, mat_id, -1),
         outside=jnp.ones((n,), jnp.bool_),
     )

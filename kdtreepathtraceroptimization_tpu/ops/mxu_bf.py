@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
 from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
 
 # glm::intersectRayTriangle backface-cull epsilon (intersect.inl, used
@@ -317,6 +318,8 @@ def intersect_mesh_mxu(origin, direction, mesh, t_max=None) -> TriHit:
     """Brute-force dispatch: fused Pallas kernel on TPU, jnp/einsum
     reference elsewhere (identical results). The winner's u/v/t are
     re-derived by mesh.refine_tri_hit, as with the KD traversals."""
+    origin = vm.as_rows(origin)
+    direction = vm.as_rows(direction)
     if jax.default_backend() == "tpu":
         return intersect_brute_mxu(
             origin, direction, mesh.v0, mesh.v1, mesh.v2, t_max=t_max

@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from kdtreepathtraceroptimization_tpu.ops import cluster as cl
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
 from kdtreepathtraceroptimization_tpu.ops import mxu_bf
 from kdtreepathtraceroptimization_tpu.ops import walk as wk
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
@@ -572,14 +573,26 @@ def _pair_pass(ids, feat, cm, ptile, kreal, on_tpu, interpret, shards=1):
         t_p, loc_p = _pair_slots_ref(ids, feat, cm.w, block, kreal,
                                      shards=S)
 
-    # Winner select by first-true mask, not argmin + take_along_axis:
-    # per-lane gathers over a tiny axis serialize on TPU (the same
-    # pathology profiled in intersect_geoms, exp/prof_nomesh.py).
-    t_best = jnp.min(t_p, axis=1)
-    is_min = t_p == t_best[:, None]
-    first = is_min & (jnp.cumsum(is_min.astype(jnp.int32), axis=1) == 1)
-    blk_best = jnp.sum(jnp.where(first, ids, 0), axis=1)
-    loc_best = jnp.sum(jnp.where(first, loc_p, 0), axis=1)
+    # Winner select channel-split over the F slot columns (F is tiny
+    # and static): [n, F] tiles broadcast against [n, 1] masks run at a
+    # fraction of VPU width (the same pathology measured in the nomesh
+    # chain, exp/nomesh_stages.py — this reduce alone was 5.5 ms/call
+    # at dragon scale as [n, F] ops, ~1 ms as F unrolled [n] chains).
+    # First-true tie-break identical to the previous cumsum form.
+    tcols = [t_p[:, f] for f in range(F)]
+    icols = [ids[:, f] for f in range(F)]
+    lcols = [loc_p[:, f] for f in range(F)]
+    t_best = tcols[0]
+    for f in range(1, F):
+        t_best = jnp.minimum(t_best, tcols[f])
+    taken = jnp.zeros_like(t_best, dtype=bool)
+    blk_best = jnp.zeros_like(icols[0])
+    loc_best = jnp.zeros_like(lcols[0])
+    for f in range(F):
+        is_f = (tcols[f] == t_best) & ~taken
+        blk_best = jnp.where(is_f, icols[f], blk_best)
+        loc_best = jnp.where(is_f, lcols[f], loc_best)
+        taken = taken | is_f
     tri = jnp.where(t_best < BIG, blk_best * block + loc_best, -1)
     return t_best, tri
 
@@ -725,6 +738,8 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     all-gather in the forward intersector (the while_loop stop tests
     are scalar all-reduces). Results are bit-identical to S=1.
     """
+    origin = vm.as_rows(origin)
+    direction = vm.as_rows(direction)
     n = origin.shape[0]
     tile = config.cluster_tile
     F = config.pair_slots

@@ -72,3 +72,26 @@ def uniforms(key: jax.Array, n_rays: int, n_samples: int,
     x = _mix32(x ^ kd[-1])
     # top 24 bits -> [0, 1) with full float32 mantissa coverage
     return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def uniform_cols(key: jax.Array, n_rays: int, n_samples: int,
+                 lane: jax.Array = None):
+    """``uniforms`` as a tuple of ``n_samples`` independent [n_rays]
+    columns — identical streams (same (lane, slot, key) hash), but each
+    column is a standalone 1-D elementwise chain that fuses into its
+    consumer instead of a [N, K] block whose column slices each force a
+    relayout. The channel-split wavefront path uses this form.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    if lane is None:
+        lane = jax.lax.iota(jnp.uint32, n_rays)
+    else:
+        lane = lane.astype(jnp.uint32)
+    base = lane * jnp.uint32(0x9E3779B1) + kd[0]
+    cols = []
+    for slot in range(n_samples):
+        x = _mix32(base + jnp.uint32((slot * 0x85EBCA77) & 0xFFFFFFFF))
+        x = _mix32(x ^ kd[-1])
+        cols.append((x >> jnp.uint32(8)).astype(jnp.float32)
+                    * jnp.float32(1.0 / 16777216.0))
+    return tuple(cols)

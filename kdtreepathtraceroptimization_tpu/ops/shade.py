@@ -4,28 +4,31 @@ Re-design of the reference's shading kernel (src/pathtrace.cu:2304-2369):
 light hits multiply in emittance and terminate; surface hits multiply the
 albedo (plus specular/SSS terms, using the reference's additive blend);
 misses zero the path. Everything is a masked vector update, fully
-differentiable w.r.t. the material parameters.
+differentiable w.r.t. the material parameters. Vectors are channel-split
+(``vm.V3`` of [N] arrays — see vecmath.py for the measured layout gap).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
 from kdtreepathtraceroptimization_tpu.ops.bsdf import MaterialLanes
+from kdtreepathtraceroptimization_tpu.ops.vecmath import V3
 
 
 def shade(
-    color: jax.Array,  # [N, 3] current throughput
+    color: V3,  # V3 of [N] current throughput
     remaining_bounces: jax.Array,  # [N] int32
     hit_t: jax.Array,  # [N] f32, BIG = miss
     mat: MaterialLanes,
     sdepth: jax.Array,  # [N] f32 (pre-scatter sdepth of the arriving ray)
     enable_sss: bool,
     big: float = 1e30,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[V3, jax.Array]:
     """Returns (new_color, new_remaining_bounces).
 
     Matches pathtrace.cu:2304-2369 exactly, including the reference's
@@ -33,43 +36,47 @@ def shade(
     C++ operator-precedence artifact it renders with) and the sdepth^2
     SSS attenuation (pathtrace.cu:2339-2346).
     """
+    if not isinstance(color, V3):
+        color = vm.v3_from_rows(color)
     active = remaining_bounces > 0
     is_hit = hit_t < big
 
     is_light = mat.emittance > 0.0
 
     # Light hit: color *= albedo * emittance, terminate.
-    light_color = color * mat.color * mat.emittance[:, None]
+    light_color = color * mat.color * mat.emittance
 
     # Surface hit: additive blend factor by material class.
     sss_amount = jnp.clip(sdepth, 0.0, 1.0) ** 2
-    has_sss = jnp.any(mat.transmittance > 0.0, axis=-1)
+    t3 = mat.transmittance
+    has_sss = (t3.x > 0.0) | (t3.y > 0.0) | (t3.z > 0.0)
 
     factor = mat.color
-    factor = jnp.where(
-        (mat.has_reflective > 0.0)[:, None],
-        mat.color + mat.has_reflective[:, None] * mat.specular_color,
+    factor = vm.wherev(
+        mat.has_reflective > 0.0,
+        mat.color + mat.specular_color * mat.has_reflective,
         factor,
     )
-    factor = jnp.where(
-        (mat.has_refractive > 0.0)[:, None],
-        mat.color + mat.has_refractive[:, None] * mat.specular_color,
+    factor = vm.wherev(
+        mat.has_refractive > 0.0,
+        mat.color + mat.specular_color * mat.has_refractive,
         factor,
     )
     if enable_sss:
-        factor = jnp.where(
-            has_sss[:, None],
+        factor = vm.wherev(
+            has_sss,
             mat.color
-            + mat.has_refractive[:, None] * mat.specular_color
-            + sss_amount[:, None] * mat.transmittance,
+            + mat.specular_color * mat.has_refractive
+            + mat.transmittance * sss_amount,
             factor,
         )
     surface_color = color * factor
 
-    new_color = jnp.where(
-        is_hit[:, None],
-        jnp.where(is_light[:, None], light_color, surface_color),
-        jnp.zeros_like(color),
+    zero = jnp.zeros_like(hit_t)
+    new_color = vm.wherev(
+        is_hit,
+        vm.wherev(is_light, light_color, surface_color),
+        V3(zero, zero, zero),
     )
     new_bounces = jnp.where(
         is_hit,
@@ -79,6 +86,6 @@ def shade(
 
     # Inactive lanes keep their state.
     return (
-        jnp.where(active[:, None], new_color, color),
+        vm.wherev(active, new_color, color),
         jnp.where(active, new_bounces, remaining_bounces),
     )

@@ -40,6 +40,7 @@ from kdtreepathtraceroptimization_tpu.config import RenderConfig
 from kdtreepathtraceroptimization_tpu.ops import intersect as isect
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
 from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
 
 
 class _DeviceNodes(NamedTuple):
@@ -1034,6 +1035,8 @@ def intersect_mesh_kd(origin, direction, kd, config: RenderConfig,
                       t_init=None, active=None) -> TriHit:
     """Dispatch on the configured traversal variant (the reference's
     ``shortstack`` key-L toggle, pathtrace.cu:1653-1680)."""
+    origin = vm.as_rows(origin)
+    direction = vm.as_rows(direction)
     if config.fat_rows and kd.fat is not None:
         return traverse_fatrow(origin, direction, kd, config,
                                t_init=t_init, active=active)

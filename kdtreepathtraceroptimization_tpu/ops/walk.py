@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from kdtreepathtraceroptimization_tpu.ops import cluster as cl
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
 from kdtreepathtraceroptimization_tpu.ops import mxu_bf
 from kdtreepathtraceroptimization_tpu.ops.binned import _apply_perm, _bin_rank
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
@@ -308,6 +309,8 @@ def intersect_mesh_walk(origin, direction, cm: "cl.ClusterMesh", config,
     running min (analytic geoms first); ``active`` lanes cull nothing
     and sort to the back.
     """
+    origin = vm.as_rows(origin)
+    direction = vm.as_rows(direction)
     n = origin.shape[0]
     tile = config.cluster_tile
 

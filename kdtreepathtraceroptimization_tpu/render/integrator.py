@@ -27,8 +27,9 @@ import jax.numpy as jnp
 
 from kdtreepathtraceroptimization_tpu.config import RenderConfig
 from kdtreepathtraceroptimization_tpu.ops import bsdf, intersect as isect, mesh as mesh_ops, shade
+from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
 from kdtreepathtraceroptimization_tpu.ops.camera import RaySoA, generate_rays
-from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key, uniforms
+from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key, uniform_cols
 
 
 def intersect_scene(origin, direction, geoms, materials, mesh, kd,
@@ -41,9 +42,17 @@ def intersect_scene(origin, direction, geoms, materials, mesh, kd,
     pruning), and ``active`` lets terminated wavefront lanes skip the
     traversal entirely — both are pure wins the megakernel design
     couldn't express.
+
+    ``origin``/``direction``: V3 of [N] channels or [N, 3] arrays. The
+    triangle intersectors consume [N, 3] (their tables/kernels are
+    row-oriented); the conversion happens once here per bounce.
     """
     hit = isect.intersect_geoms(origin, direction, geoms)
     if mesh is not None:
+        if isinstance(origin, vm.V3):
+            origin = vm.v3_to_rows(origin)
+        if isinstance(direction, vm.V3):
+            direction = vm.v3_to_rows(direction)
         # Production auto-select (config.cluster_auto): big meshes take
         # the cluster family, small ones the KD walk — the measured TPU
         # crossover (config.cluster_min_tris). Static per compile: the
@@ -140,7 +149,7 @@ def trace_rays(
     The ray-level entry under trace_iteration: used by the camera path
     and by auxiliary estimators that need radiance along hand-built rays
     (the edge-sampling boundary gradients, ops/edgegrad.py)."""
-    n = rays.origin.shape[0]
+    n = rays.origin.x.shape[0]
 
     def bounce(carry, depth):
         rays: RaySoA = carry
@@ -156,8 +165,8 @@ def trace_rays(
         # and material sort permute lanes, and a position-keyed stream
         # would make the image depend on the permutation (the reference
         # seeds per pixel index, pathtrace.cu:62-66).
-        u = uniforms(bounce_key(base_key, iteration, depth + 1), n, 8,
-                     lane=rays.pixel_index)
+        u = uniform_cols(bounce_key(base_key, iteration, depth + 1), n, 8,
+                         lane=rays.pixel_index)
 
         scattered = bsdf.scatter(
             rays.origin,
@@ -181,8 +190,8 @@ def trace_rays(
 
         keep = active & (hit.t < isect.BIG)
         new_rays = RaySoA(
-            origin=jnp.where(keep[:, None], scattered.origin, rays.origin),
-            direction=jnp.where(keep[:, None], scattered.direction, rays.direction),
+            origin=vm.wherev(keep, scattered.origin, rays.origin),
+            direction=vm.wherev(keep, scattered.direction, rays.direction),
             color=new_color,
             is_inside=jnp.where(keep, scattered.is_inside, rays.is_inside),
             sdepth=jnp.where(keep, scattered.sdepth, rays.sdepth),
@@ -206,17 +215,17 @@ def trace_rays(
         return new_rays, None
 
     # Two bounce-loop forms (config.scan_bounces):
-    # - Python unroll (default): XLA fuses across bounce boundaries and
-    #   reverse-mode stays clean — lax.scan's backward produced NaN
-    #   cotangents on this body where the mathematically identical
-    #   unrolled graph does not (observed on the CPU backend; see
-    #   tests/test_grad.py). Depth is small and fixed (the reference
-    #   caps at 8, pathtrace.cu:2608).
-    # - lax.scan: compiles the bounce body — including any Pallas
-    #   kernels — ONCE instead of depth times. On the tunneled compile
-    #   service a depth-8 unroll of the cluster kernels takes ~10 min;
-    #   the scan form compiles in ~1/8th of that. Forward-only paths
-    #   (bench, CLI rendering) should use it.
+    # - lax.scan (default): compiles the bounce body — including any
+    #   Pallas kernels — ONCE instead of depth times. On the tunneled
+    #   compile service a depth-8 unroll of the cluster kernels takes
+    #   ~10 min; the scan form compiles in ~1/8th of that. Reverse mode
+    #   through scan is exact: the historical NaN-cotangent pathology
+    #   died with the r5 channel-split rewrite (the old [N, G]
+    #   masked-sum winner select emitted 0*inf in the scan transpose);
+    #   test_grad_scan_equals_unroll pins scan-grad == unroll-grad.
+    # - Python unroll: XLA fuses across bounce boundaries; compile cost
+    #   grows superlinearly in depth. Depth is small and fixed (the
+    #   reference caps at 8, pathtrace.cu:2608).
     if config.scan_bounces:
         rays, _ = jax.lax.scan(
             bounce, rays,
@@ -232,7 +241,7 @@ def trace_rays(
     # material sort it is a scatter. ``partial_gather`` reproduces the
     # reference's compaction-mode gather (pathtrace.cu:2386-2399), which
     # drops paths still alive after the last bounce (see config.py).
-    color = rays.color
+    color = vm.v3_to_rows(rays.color)  # [N, 3] at the film boundary
     if config.partial_gather:
         color = jnp.where((rays.remaining_bounces == 0)[:, None], color, 0.0)
     if config.material_sort or config.compaction:
@@ -244,16 +253,26 @@ def trace_rays(
 def _hoist_tables(*trees):
     """Split scene pytrees into (device-array args, rebuild fn).
 
-    Array leaves become jit ARGUMENTS (captured arrays embed as XLA
-    constants, which the compiler ships to and constant-folds on the
+    Large array leaves become jit ARGUMENTS (captured arrays embed as
+    XLA constants, which the compiler ships to and constant-folds on the
     compile service — tens of MB and minutes of compile for a 100k-tri
     mesh). Non-array leaves (static ints like ClusterMesh.block or
     KDFlat.max_depth) stay in the closure so static uses keep working.
+
+    SMALL numpy leaves (< 1024 elements: geom types/transforms/material
+    rows) also stay in the closure as CONCRETE values: intersect_geoms
+    emits one statically-typed test per geom (no traced-type double
+    evaluation), and tiny tables constant-fold into the kernels. Camera
+    fields were never hoisted for the same reason.
     """
     import numpy as _np
 
     leaves, treedef = jax.tree.flatten(trees)
-    is_arr = [isinstance(l, (jax.Array, _np.ndarray)) for l in leaves]
+    is_arr = [
+        isinstance(l, jax.Array)
+        or (isinstance(l, _np.ndarray) and l.size >= 1024)
+        for l in leaves
+    ]
     args = [jnp.asarray(l) for l, m in zip(leaves, is_arr) if m]
 
     def rebuild(args):

@@ -86,6 +86,13 @@ def render_case(name):
 
 
 def main(outdir=GOLDEN_DIR):
+    # Drift guard: goldens are committed from CPU renders (the tests
+    # force the CPU backend); regenerating on a TPU/axon backend would
+    # silently commit mismatched pins.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
     os.makedirs(outdir, exist_ok=True)
     for name in CASES:
         img = render_case(name)

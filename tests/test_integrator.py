@@ -128,6 +128,7 @@ def test_sort_rays_by_octant_groups_and_preserves():
     import jax.numpy as jnp
     import numpy as np
 
+    from kdtreepathtraceroptimization_tpu.ops import vecmath as vm
     from kdtreepathtraceroptimization_tpu.ops.camera import RaySoA
     from kdtreepathtraceroptimization_tpu.ops.compaction import (
         sort_rays_by_octant,
@@ -137,9 +138,9 @@ def test_sort_rays_by_octant_groups_and_preserves():
     n = 256
     d = rng.normal(size=(n, 3)).astype(np.float32)
     rays = RaySoA(
-        origin=jnp.zeros((n, 3), jnp.float32),
-        direction=jnp.asarray(d),
-        color=jnp.ones((n, 3), jnp.float32),
+        origin=vm.v3_from_rows(jnp.zeros((n, 3), jnp.float32)),
+        direction=vm.v3_from_rows(jnp.asarray(d)),
+        color=vm.v3_from_rows(jnp.ones((n, 3), jnp.float32)),
         is_inside=jnp.zeros((n,), bool),
         sdepth=jnp.zeros((n,), jnp.float32),
         pixel_index=jnp.arange(n, dtype=jnp.int32),
@@ -150,7 +151,7 @@ def test_sort_rays_by_octant_groups_and_preserves():
     np.testing.assert_array_equal(
         np.sort(np.asarray(out.pixel_index)), np.arange(n)
     )
-    od = np.asarray(out.direction)
+    od = np.asarray(vm.v3_to_rows(out.direction))
     oct_ = ((od[:, 0] >= 0) + 2 * (od[:, 1] >= 0)
             + 4 * (od[:, 2] >= 0)).astype(int)
     alive = np.asarray(out.remaining_bounces) > 0

@@ -3,8 +3,12 @@
 import jax.numpy as jnp
 import numpy as np
 
-from kdtreepathtraceroptimization_tpu.ops import intersect as isect
+from kdtreepathtraceroptimization_tpu.ops import intersect as isect, vecmath as vm
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+
+
+def _nrm(hit):
+    return np.asarray(vm.v3_to_rows(hit.normal))
 
 
 def _rays(data):
@@ -49,7 +53,7 @@ def test_box_normal_faces_ray(cornell_scene):
     d = jnp.asarray([[0.0, 0.0, -1.0]])
     hit = isect.intersect_geoms(o, d, cornell_scene.geoms)
     # back wall normal should point +z (toward the camera)
-    np.testing.assert_allclose(np.asarray(hit.normal[0]), [0, 0, 1], atol=1e-4)
+    np.testing.assert_allclose(_nrm(hit)[0], [0, 0, 1], atol=1e-4)
 
 
 def test_sphere_hit_and_inside():
@@ -70,11 +74,11 @@ def test_sphere_hit_and_inside():
     d = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]])
     hit = isect.intersect_geoms(o, d, geoms)
     np.testing.assert_allclose(float(hit.t[0]), 8.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(hit.normal[0]), [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(_nrm(hit)[0], [0, 0, 1], atol=1e-5)
     assert bool(hit.outside[0])
     # from inside: hits the far shell at distance 2, normal flipped toward origin
     np.testing.assert_allclose(float(hit.t[1]), 2.0, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(hit.normal[1]), [0, 0, 1], atol=1e-5)
+    np.testing.assert_allclose(_nrm(hit)[1], [0, 0, 1], atol=1e-5)
     assert not bool(hit.outside[1])
 
 
