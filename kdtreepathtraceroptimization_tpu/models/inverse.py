@@ -52,6 +52,7 @@ def render_loss(
         config,
         base_key,
         iteration,
+        cmesh=getattr(scene, "cmesh", None),
     )
     return jnp.mean((radiance - target) ** 2)
 

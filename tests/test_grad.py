@@ -191,6 +191,125 @@ def test_mesh_vertex_grad(cornell_scene):
     assert agree >= 2, f"FD/AD disagree: {results}"
 
 
+def test_grad_scan_equals_unroll(cornell_scene):
+    """Reverse mode through lax.scan must equal the unrolled form.
+
+    Pins the r5 resolution of the historical scan-backward NaN (the old
+    [N, G] masked-sum winner select emitted 0*inf cotangents in the
+    scan transpose; the channel-split graph does not) — see
+    config.scan_bounces."""
+    scene, _, key = _setup(cornell_scene)
+    target = jnp.zeros((24 * 24, 3), jnp.float32)
+    materials = jax.tree.map(jnp.asarray, scene.materials)
+
+    def grad_of(scan):
+        cfg = RenderConfig(trace_depth=4, antialias=False, enable_sss=True,
+                           scan_bounces=scan)
+
+        def loss_of(mats):
+            return render_loss(mats, scene, cfg, key, jnp.int32(1), target)
+
+        return jax.jit(jax.grad(loss_of))(materials)
+
+    g_scan = grad_of(True)
+    g_unroll = grad_of(False)
+    for leaf_s, leaf_u in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_unroll)):
+        a, b = np.asarray(leaf_s), np.asarray(leaf_u)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_pairs_vertex_and_material_grad(cornell_scene):
+    """Gradients through the PRODUCTION pair-list intersector
+    (cluster_pairs=True): material FD check + vertex depth-AOV FD check
+    via cmesh.tris (the detached-index estimator, mesh.refine_tri_hit).
+    VERDICT r4 item 4."""
+    import os
+    import tempfile
+
+    from tests.meshutil import icosphere, write_obj
+    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene
+
+    verts, faces = icosphere(2, radius=2.0, center=(0.0, 3.0, 0.0))
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    tmp.close()
+    write_obj(tmp.name, verts, faces)
+    scene_path = os.path.join(os.path.dirname(__file__), "..", "scenes", "cornell.txt")
+    scene = with_resolution(load_scene(scene_path, obj_path=tmp.name), 16, 16)
+    assert getattr(scene, "cmesh", None) is not None
+    config = RenderConfig(trace_depth=2, cluster=True, cluster_pairs=True)
+    key = jax.random.PRNGKey(0)
+    target = jnp.zeros((16 * 16, 3), jnp.float32)
+
+    # (a) material gradient FD check through the pairs render
+    def loss_of(materials):
+        return render_loss(materials, scene, config, key, jnp.int32(1), target)
+
+    materials = jax.tree.map(jnp.asarray, scene.materials)
+    loss0, grads = jax.jit(jax.value_and_grad(loss_of))(materials)
+    assert np.isfinite(float(loss0))
+    g = np.asarray(grads.color)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
+    loss_jit = jax.jit(loss_of)
+    idx = int(np.argsort(np.abs(g).ravel())[-1])
+    i, c = divmod(idx, 3)
+    eps = 3e-3
+    e = np.zeros_like(np.asarray(materials.color))
+    e[i, c] = eps
+    fd = (float(loss_jit(materials._replace(color=materials.color + e)))
+          - float(loss_jit(materials._replace(color=materials.color - e)))
+          ) / (2 * eps)
+    ad = float(g[i, c])
+    assert abs(fd - ad) <= 2e-2 * max(abs(fd), abs(ad), 1e-3), (fd, ad)
+
+    # (b) vertex depth-AOV gradient through cmesh.tris + FD check: the
+    # winner index is detached but t re-evaluates against the packed
+    # rows, so d(depth)/d(vertex) is exact for interior hits.
+    from kdtreepathtraceroptimization_tpu.render.integrator import intersect_scene
+    from kdtreepathtraceroptimization_tpu.ops.camera import generate_rays
+    from kdtreepathtraceroptimization_tpu.ops.rng import bounce_key
+    from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
+    from kdtreepathtraceroptimization_tpu.ops.pairs import intersect_mesh_pairs
+
+    rays = generate_rays(scene.camera, config, bounce_key(key, 1, 0), 1)
+    win = np.asarray(
+        intersect_mesh_pairs(rays.origin, rays.direction, scene.cmesh,
+                             config).tri
+    )
+    rows, counts = np.unique(win[win >= 0], return_counts=True)
+    row = int(rows[np.argmax(counts)])
+    lane_mask = jnp.asarray(win == row)
+    v0 = jnp.asarray(scene.cmesh.tris.v0)
+
+    def depth_loss(v0_):
+        cmesh = scene.cmesh._replace(
+            tris=scene.cmesh.tris._replace(v0=v0_))
+        hit = intersect_scene(
+            rays.origin, rays.direction, scene.geoms, scene.materials,
+            scene.mesh, scene.kd, config, cmesh=cmesh,
+        )
+        return jnp.sum(jnp.where(lane_mask & (hit.t < BIG), hit.t, 0.0))
+
+    gd = np.asarray(jax.jit(jax.grad(depth_loss))(v0))
+    assert np.isfinite(gd).all()
+    assert np.abs(gd).max() > 0, "pairs depth grad w.r.t. vertices is zero"
+
+    dl = jax.jit(depth_loss)
+    eps = 1e-3
+    agree, results = 0, []
+    for idx in np.argsort(np.abs(gd).ravel())[-3:]:
+        i, c = divmod(int(idx), 3)
+        e = np.zeros(gd.shape, np.float32)
+        e[i, c] = eps
+        fd = (float(dl(v0 + e)) - float(dl(v0 - e))) / (2 * eps)
+        ad = float(gd[i, c])
+        results.append((fd, ad))
+        if abs(fd - ad) <= 1e-1 * max(abs(fd), abs(ad), 1e-3):
+            agree += 1
+    assert agree >= 2, f"FD/AD disagree: {results}"
+
+
 CAMERA_SSS_SCENE = """\
 MATERIAL 0
 RGB         1 1 1
