@@ -202,6 +202,24 @@ class RenderConfig:
     # unproven rays more cheaply than every ray paying a 4th slot.
     pair_slots: int = 3
     pair_tile: int = 256   # pairs per mono-block MXU tile
+    # Block-diagonal supertile kernel: one [ptile, 128] x [128, 4B] MXU
+    # round covers up to 8 contiguous same-block runs (features placed
+    # at lane offset 16*run-slot against a stacked weight matrix).
+    # Bit-identical results (extra contraction terms are exact zeros)
+    # but measured SLOWER than the runs kernel at dragon scale (13.6 vs
+    # 10.3 ms): the matmul is bound by rows x output-tiles streaming,
+    # not contraction depth (exp/bdiag_probe.py), so the 8x-deeper
+    # contraction buys nothing and the f32 128-deep pass costs more.
+    # Kept as a measured negative result / option.
+    pair_bdiag: bool = False
+    pair_bdiag_tile: int = 1024
+    # Narrowing buffer = ns/pair_narrow_div (ptile-aligned): smaller
+    # buffers fit the mesh-active population tighter (the while-loop
+    # rounds scale with the REAL count, ~35% of a diffuse wave) at more
+    # rounds. Swept on the dragon wave (r5): 60.6 / 52.0 / 43.4 ms full
+    # call at div 2 / 4 / 8, flat beyond 8 — results bit-identical at
+    # any div (rounds process disjoint ray sets).
+    pair_narrow_div: int = 8
     # Shard-local binning: the ray axis is viewed as
     # [binned_shards, n/binned_shards] and the binning sort / repair
     # compaction run row-wise, so a ray-sharded GSPMD program (one row

@@ -411,6 +411,156 @@ def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, feat_ref, w1_ref, w_hbm,
     jax.lax.while_loop(cond, body, (r1_0, b1, jnp.int32(0)))
 
 
+_BD_SLOTS = 8  # block-diagonal weight slots (8 x 16 rows = 128 contraction)
+
+
+def _pair_bdiag_kernel(tfirst, blk3_ref, blkcol_ref, feat_ref, w1_ref, w_hbm,
+                       p_ref, wbuf, sem, *, block, ptile, kreal):
+    """Block-diagonal supertile: up to 8 runs per MXU round.
+
+    The runs kernel's [ptile, 16] x [16, 4B] rounds are LATENCY-bound:
+    8.4 MFLOP at a measured ~1.4 us/round is ~3% of the MXU's bf16
+    rate, because a 16-deep contraction can't fill the 128x128 systolic
+    array. Here one round covers up to _BD_SLOTS=8 runs at once: each
+    pair's 16 features are placed at lane offset 16*slot (slot = its
+    run's index within the round) and multiplied against a [128, 4B]
+    weight stack holding the 8 runs' MT blocks — each row only meets
+    its own block's weights (other slots are zero), so the product is
+    IDENTICAL to the per-run rounds (adding exact zeros to an f32
+    accumulation chain changes nothing), while the contraction depth
+    is 128 and the tile is 4x taller. Multi-round cells (runs > 8,
+    rare: mean runs/1024-tile ~ 1.4 on the dragon wave) alternate two
+    weight stacks so DMAs never race the previous round's matmul.
+
+    The first run's weight block still arrives through the
+    scalar-prefetched BlockSpec (``w1_ref``) pipelined across grid
+    cells; runs 2..8 of round 1 and all later rounds DMA on demand."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    p_ref[:, :] = jnp.full((ptile, 1), _PBIG, jnp.int32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ptile, 1), 0)
+    blkcol = blkcol_ref[:, :]
+    feat = feat_ref[:, :]                        # [ptile, 16]
+    t0col = feat[:, 10:11]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ptile, block), 1)
+    cols128 = jax.lax.broadcasted_iota(jnp.int32, (ptile, 16 * _BD_SLOTS), 1)
+    lane_slot = cols128 // 16                     # [ptile, 128]
+    feat_tiled = pltpu.repeat(feat, _BD_SLOTS, axis=1)  # [ptile, 128]
+
+    def dma(buf, j, b):
+        return pltpu.make_async_copy(
+            w_hbm.at[b], wbuf.at[buf, pl.ds(16 * j, 16)], sem.at[buf, j])
+
+    def runlen(r0, b):
+        return r0 + jnp.sum(((blkcol == b) & (rows >= r0)).astype(jnp.int32))
+
+    def round_(row0, b0, buf, first: bool):
+        """Walk up to 8 runs from (row0, b0); DMA, matmul, merge.
+        ``first`` is static: round 1's slot 0 comes from the pipelined
+        BlockSpec instead of a DMA. Returns (next_row0, next_b0)."""
+        r, b = row0, b0
+        starts = []
+        waits = []
+        for j in range(_BD_SLOTS):
+            valid = (r < ptile) & (b < kreal)
+            bj = b
+            if not (first and j == 0):  # slot 0 of round 1: BlockSpec
+                @pl.when(valid)
+                def _():
+                    dma(buf, j, bj).start()
+
+                waits.append((valid, j, bj))
+            starts.append(jnp.where(valid, r, jnp.int32(ptile)))
+            r_next = jnp.where(valid, runlen(r, b), r)
+            b_next = blk3_ref[0, 0, jnp.minimum(r_next, ptile - 1)]
+            r = r_next
+            b = jnp.where(valid, b_next, b)
+
+        if first:
+            @pl.when(b0 < kreal)
+            def _():
+                wbuf[buf, 0:16, :] = w1_ref[0]
+
+        in_round = (rows >= row0) & (rows < r)
+        slot = jnp.full((ptile, 1), -1, jnp.int32)
+        for s_j in starts:
+            slot = slot + (rows >= s_j).astype(jnp.int32)
+        feat128 = jnp.where((lane_slot == slot) & in_round, feat_tiled, 0.0)
+
+        for valid_j, j, bj in waits:
+            @pl.when(valid_j)
+            def _():
+                dma(buf, j, bj).wait()
+
+        prod = jax.lax.dot_general(
+            feat128, wbuf[buf],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t = mxu_bf._epilogue(prod, block, t0col)
+        pmin = jnp.min(_pack_tl(t, cols), axis=1, keepdims=True)
+        p_ref[:, :] = jnp.where(in_round, pmin, p_ref[:, :])
+        return r, b
+
+    # round 1 (slot 0 pipelined via BlockSpec)
+    b0 = blk3_ref[0, 0, 0]
+    r1, b1 = round_(jnp.int32(0), b0, 0, True)
+
+    # rounds 2+ (rare): alternate weight stacks
+    def cond(st):
+        r0, b, buf = st
+        return (r0 < ptile) & (b < kreal)
+
+    def body(st):
+        r0, b, buf = st
+        r_n, b_n = round_(r0, b, buf, False)
+        return r_n, b_n, 1 - buf
+
+    jax.lax.while_loop(cond, body, (r1, b1, jnp.int32(1)))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "ptile", "kreal",
+                                             "interpret"))
+def _pair_bdiag_pallas(blk_s, feat, w, block: int, ptile: int, kreal: int,
+                       interpret: bool):
+    """Drop-in twin of _pair_runs_pallas using the block-diagonal
+    supertile kernel (bit-identical packed results)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert block <= (1 << _LOC_BITS)
+    s = feat.shape[0]
+    g = s // ptile
+    tfirst = jnp.minimum(blk_s.reshape(g, ptile)[:, 0], kreal - 1)
+    kernel = functools.partial(_pair_bdiag_kernel, block=block, ptile=ptile,
+                               kreal=kreal)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, ptile), lambda i, tf: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
+            pl.BlockSpec((ptile, 16), lambda i, tf: (i, 0)),
+            pl.BlockSpec((1, 16, 4 * block), lambda i, tf: (tf[i], 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((ptile, 1), lambda i, tf: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 16 * _BD_SLOTS, 4 * block), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, _BD_SLOTS)),
+        ],
+    )
+    packed = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, 1), jnp.int32),
+        interpret=interpret,
+    )(tfirst, blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), feat, w, w)
+    return packed.reshape(s)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "ptile", "kreal",
                                              "interpret"))
 def _pair_runs_pallas(blk_s, feat, w, block: int, ptile: int, kreal: int,
@@ -499,7 +649,8 @@ def _pair_slots_ref(ids, feat, w, block, kreal, shards: int = 1):
     return t, loc
 
 
-def _pair_pass(ids, feat, cm, ptile, kreal, on_tpu, interpret, shards=1):
+def _pair_pass(ids, feat, cm, ptile, kreal, on_tpu, interpret, shards=1,
+               bdiag=False):
     """Test every (ray, block) pair in ``ids`` [n, F]; return per-ray
     (t_best [n], tri_best [n]) over those pairs (BIG/-1 where none).
 
@@ -541,8 +692,9 @@ def _pair_pass(ids, feat, cm, ptile, kreal, on_tpu, interpret, shards=1):
             blk_s = keys_s >> p2bits
             ray = jnp.minimum(src // F, m - 1)
             featp = feat[ray]
-            packed = _pair_runs_pallas(blk_s, featp, cm.w, block,
-                                       ptile, kreal, interpret)
+            runner = _pair_bdiag_pallas if bdiag else _pair_runs_pallas
+            packed = runner(blk_s, featp, cm.w, block, ptile, kreal,
+                            interpret)
             _, p_p = jax.lax.sort((src, packed), num_keys=1)
             t_p, loc_p = _unpack_tl(p_p[:Ps].reshape(n, F))
         else:
@@ -560,7 +712,8 @@ def _pair_pass(ids, feat, cm, ptile, kreal, on_tpu, interpret, shards=1):
                 blk_s, src = _sc(blk_s), _sc(src)
             ray = jnp.minimum(src // F, m - 1)  # pad slots: sentinel
             featp = _take_rows(feat.reshape(S, m, 16), ray)  # [S, Pp, 16]
-            packed = _pair_runs_pallas(
+            runner = _pair_bdiag_pallas if bdiag else _pair_runs_pallas
+            packed = runner(
                 blk_s.reshape(S * Pp), featp.reshape(S * Pp, 16), cm.w,
                 block, ptile, kreal, interpret)
             # back to [n, F] slot order: one keyed 2-operand sort (src
@@ -743,7 +896,9 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     n = origin.shape[0]
     tile = config.cluster_tile
     F = config.pair_slots
-    ptile = config.pair_tile
+    bdiag = bool(getattr(config, "pair_bdiag", False))
+    ptile = (int(getattr(config, "pair_bdiag_tile", 1024)) if bdiag
+             else config.pair_tile)
     kp = cm.n_blocks
     kreal = cm.n_real_blocks
 
@@ -791,7 +946,8 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     # to the unnarrowed pass. (m1 is ptile-aligned where possible;
     # _pair_pass pads its per-shard pair axis to the grid tile anyway,
     # so any m1 <= ns is safe.)
-    m1 = min(ns, max(ptile, -(-ns // 2 // ptile) * ptile))
+    ndiv = max(1, int(getattr(config, "pair_narrow_div", 2)))
+    m1 = min(ns, max(ptile, -(-ns // ndiv // ptile) * ptile))
     bt = _sc(t0.reshape(S, ns))
     btri = _sc(jnp.full((S, ns), -1, jnp.int32))
     mesh_act = _sc((act & (cnt > 0)).reshape(S, ns))
@@ -813,7 +969,8 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         ft_c = _take_rows(featv, pos) * live.astype(jnp.float32)[:, :, None]
         t1, tri1 = _pair_pass(ids_c.reshape(S * m1, F),
                               ft_c.reshape(S * m1, 16),
-                              cm, ptile, kreal, on_tpu, interpret, shards=S)
+                              cm, ptile, kreal, on_tpu, interpret, shards=S,
+                              bdiag=bdiag)
         t1 = t1.reshape(S, m1)
         tri1 = tri1.reshape(S, m1)
         bt_pos = _take_rows(bt, pos)
@@ -878,7 +1035,7 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
         # window epilogue bound = the current best (col 10, see _feat16t)
         ft2 = ft2.at[:, 10].set(bt2g.reshape(S * m2))
         t2, tri2 = _pair_pass(ids2, ft2, cm, ptile, kreal, on_tpu,
-                              interpret, shards=S)
+                              interpret, shards=S, bdiag=bdiag)
         t2 = t2.reshape(S, m2)
         tri2 = tri2.reshape(S, m2)
         upd = live & (t2 < bt2g)
@@ -905,55 +1062,69 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     m3 = min(max(256, WALK_LANES // S), ns)
     tile3 = min(tile, m3)
 
-    if max_passes >= 3:
-        pos3, nr3 = _compact_all(unproven)  # static set: ONE sort
-        pos3p = _pad_positions(pos3, -(-ns // m3) * m3)
     iota_m3 = jnp.arange(m3, dtype=jnp.int32)[None, :]
 
-    def p3_cond(state):
-        k, _, _ = state
-        return k * m3 < jnp.max(nr3)
+    def _run_pass3(bt, btri):
+        pos3, nr3 = _compact_all(unproven)  # static set: ONE sort
+        pos3p = _pad_positions(pos3, -(-ns // m3) * m3)
 
-    def p3_body(state):
-        k, bt, btri = state
-        pos = jax.lax.dynamic_slice(pos3p, (jnp.int32(0), k * m3), (S, m3))
-        live = (k * m3 + iota_m3) < nr3[:, None]
-        livef = live.astype(jnp.float32)
-        x3 = _take_rows(xv, pos)
-        x3 = x3.at[:, :, 6].set(jnp.where(live, _take_rows(bt, pos), 0.0))
-        x3 = x3.at[:, :, 7].set(x3[:, :, 7] * livef)
-        x3 = x3.at[:, :, 3:6].mul(livef[:, :, None])
-        x3f = x3.reshape(S * m3, 16)
-        if on_tpu:
-            te = wk._slab_cull_pallas(x3f, cm.slab, cm.blk, tile3, interpret)
-        else:
-            te = wk._slab_cull_ref(x3f, cm.slab, cm.blk, tile3)
-        sel, lb, nsel = wk._full_select(te)
-        r3 = mxu_bf.ray_features(x3f[:, 0:3], x3f[:, 3:6])
-        r3 = r3 * livef.reshape(S * m3)[:, None]
-        r3 = jnp.concatenate([r3, jnp.zeros((S * m3, 6), jnp.float32)],
-                             axis=1)
-        t03 = x3f[:, 6]
-        a3 = x3f[:, 7]
-        if on_tpu:
-            t3, tri3 = wk._walk_pallas(sel, lb, nsel, r3, t03, a3, cm.w,
-                                       tile3, cm.block, interpret)
-        else:
-            t3, tri3 = wk._walk_ref(sel, lb, r3, t03, a3, cm.w, tile3,
-                                    cm.block)
-        t3 = t3.reshape(S, m3)
-        tri3 = tri3.reshape(S, m3)
-        upd = live & (tri3 >= 0)
-        bt, btri = _scatter_slice(
-            pos3p, k, m3,
-            [jnp.where(upd, t3, _take_rows(bt, pos)),
-             jnp.where(upd, tri3, _take_rows(btri, pos))],
-            [bt, btri])
-        return k + 1, bt, btri
+        def p3_cond(state):
+            k, _, _ = state
+            return k * m3 < jnp.max(nr3)
 
-    if max_passes >= 3:
+        def p3_body(state):
+            k, bt, btri = state
+            pos = jax.lax.dynamic_slice(pos3p, (jnp.int32(0), k * m3),
+                                        (S, m3))
+            live = (k * m3 + iota_m3) < nr3[:, None]
+            livef = live.astype(jnp.float32)
+            x3 = _take_rows(xv, pos)
+            x3 = x3.at[:, :, 6].set(jnp.where(live, _take_rows(bt, pos), 0.0))
+            x3 = x3.at[:, :, 7].set(x3[:, :, 7] * livef)
+            x3 = x3.at[:, :, 3:6].mul(livef[:, :, None])
+            x3f = x3.reshape(S * m3, 16)
+            if on_tpu:
+                te = wk._slab_cull_pallas(x3f, cm.slab, cm.blk, tile3,
+                                          interpret)
+            else:
+                te = wk._slab_cull_ref(x3f, cm.slab, cm.blk, tile3)
+            sel, lb, nsel = wk._full_select(te)
+            r3 = mxu_bf.ray_features(x3f[:, 0:3], x3f[:, 3:6])
+            r3 = r3 * livef.reshape(S * m3)[:, None]
+            r3 = jnp.concatenate([r3, jnp.zeros((S * m3, 6), jnp.float32)],
+                                 axis=1)
+            t03 = x3f[:, 6]
+            a3 = x3f[:, 7]
+            if on_tpu:
+                t3, tri3 = wk._walk_pallas(sel, lb, nsel, r3, t03, a3, cm.w,
+                                           tile3, cm.block, interpret)
+            else:
+                t3, tri3 = wk._walk_ref(sel, lb, r3, t03, a3, cm.w, tile3,
+                                        cm.block)
+            t3 = t3.reshape(S, m3)
+            tri3 = tri3.reshape(S, m3)
+            upd = live & (tri3 >= 0)
+            bt, btri = _scatter_slice(
+                pos3p, k, m3,
+                [jnp.where(upd, t3, _take_rows(bt, pos)),
+                 jnp.where(upd, tri3, _take_rows(btri, pos))],
+                [bt, btri])
+            return k + 1, bt, btri
+
         _, bt, btri = jax.lax.while_loop(
             p3_cond, p3_body, (jnp.int32(0), bt, btri))
+        return bt, btri
+
+    if max_passes >= 3:
+        # The residual tail is empty on most waves (pass 2 proves
+        # everything); lax.cond skips the compaction SORT (the
+        # dominant pass-3 cost, ~4 ms at 640k) when nothing is left.
+        bt, btri = jax.lax.cond(
+            jnp.any(unproven),
+            lambda a: _run_pass3(*a),
+            lambda a: a,
+            (bt, btri),
+        )
 
     bt, btri = bt.reshape(npad)[:n], btri.reshape(npad)[:n]
     bt = jnp.where(btri >= 0, bt, BIG)
