@@ -101,6 +101,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "window)")
     p.add_argument("--live-cols", type=int, default=64,
                    help="terminal preview width in character cells")
+    p.add_argument("--interactive", action="store_true",
+                   help="terminal interactive mode: arrows/hjkl orbit, "
+                        "+/- zoom, wasd pan, A C X F M K L B toggles, "
+                        "S save, q quit; film resets on camera change "
+                        "(reference main.cpp:1110-1343)")
     p.add_argument("--save-every", type=int, default=0,
                    help="write progressive checkpoints every N iterations")
     p.add_argument("--resume", default=None, help="resume from a .npz checkpoint")
@@ -203,6 +208,23 @@ def main(argv=None) -> int:
         dump = scene.state.image_name + ".kdboxes.txt"
         write_kd_to_file(scene.kd, dump)
         print(f"wrote {dump} (Houdini bbox-dump format)")
+
+    if args.interactive:
+        from kdtreepathtraceroptimization_tpu.render.interactive import (
+            run_interactive,
+        )
+
+        def save_fn(img_np, iteration):
+            out = args.output or render_filename(
+                scene.state.image_name, iteration)
+            write_png(out, tonemap_srgb_u8(
+                img_np.reshape(res_y, res_x, 3)))
+            print(f"\nwrote {out}", flush=True)
+
+        run_interactive(scene, config, args.seed, save_fn,
+                        cols=args.live_cols,
+                        max_iters=args.spp if args.spp else 0)
+        return 0
 
     step = make_render_fn(scene, config)
     key = jax.random.PRNGKey(args.seed)

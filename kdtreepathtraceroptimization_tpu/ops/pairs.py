@@ -73,14 +73,18 @@ WALK_LANES = 8192
 # ---------------------------------------------------------------------------
 
 
-# Block-id bits packed into the entry key's low mantissa: 12 bits =
-# 4096 blocks = 1.05M triangles at block=256 (the reference's largest
-# demonstrated scenes are ~1-3M faces, README.md:170-181). The
-# truncation lowers entry keys by <= 2^-11 relative — still
-# conservative for feasibility and the lb_over proof (see
-# _extract_math). Scenes past the cap skip the cluster build and take
-# the KD walk (scene/parser.py).
-_IDX_BITS = 12
+# Block-id bits packed into the entry key's low mantissa: 13 bits =
+# 8192 blocks = 2.1M triangles at block=256 — covers the reference's
+# largest demonstrated scenes (Audi R8 1.69M verts, README.md:170-181;
+# Gutenberg 3M+ needs block=512 or the KD walk). The truncation lowers
+# entry keys by <= 2^-10 relative, which stays conservative: packing
+# only LOWERS an entry, so feasibility ordering can only promote a
+# block and lb_over (the min truncated entry over untested blocks)
+# stays a true lower bound for the proof (see _extract_math). Scenes
+# past the cap skip the cluster build and take the KD walk
+# (scene/parser.py imports MAX_CLUSTER_BLOCKS).
+_IDX_BITS = 13
+MAX_CLUSTER_BLOCKS = 1 << _IDX_BITS
 
 
 def _extract_math(x, slab, blk, kp, F):
@@ -217,15 +221,23 @@ def _extract_pallas(x, slab, blk, tile: int, F: int, interpret: bool):
         "builder should have skipped the cluster table"
     )
     # ray lanes per grid cell, capped so the [kp, tl] entry/key
-    # buffers stay within VMEM at large block counts
+    # buffers stay within VMEM at large block counts. Mosaic requires
+    # the lane dim be a multiple of 128 (or the whole array), so tl
+    # floors at 128; the scene builder keeps kp <= 4096 (adaptive
+    # block size) so the [kp, 128] buffers stay ~2 MB.
     tl_max = 512
-    while tl_max > 64 and kp * tl_max * 4 > 2 ** 21:
+    while tl_max > 128 and kp * tl_max * 4 > 2 ** 21:
         tl_max //= 2
-    for tl in (tl_max, 256, 128, 64, 32, 16, 8):
-        if tl <= tl_max and n % tl == 0:
-            break
+    if n < 128:
+        tl = n  # whole-array lane dim (allowed by Mosaic)
+        if n % 8:
+            raise ValueError(f"ray count {n} not a multiple of 8")
     else:
-        raise ValueError(f"ray count {n} not a multiple of 8")
+        for tl in (tl_max, 256, 128):
+            if tl <= tl_max and n % tl == 0:
+                break
+        else:
+            raise ValueError(f"ray count {n} not a multiple of 128")
     g = n // tl
     xt = x.T                     # [16, n] — one fused XLA transpose
     slabt = slab.T               # [kp, 8]
@@ -296,14 +308,16 @@ def _feat16t(od):
 
 
 import numpy as _np_mod
-_LOC_BITS = 8          # loc-in-block bits packed into the low mantissa
+_LOC_BITS = 10         # loc-in-block bits packed into the low mantissa
+                       # (block <= 1024: big scenes use 512/1024-tri
+                       # blocks to stay under the 8192-block cap)
 _PBIG = int(_np_mod.float32(BIG).view(_np_mod.int32)) & ~((1 << _LOC_BITS) - 1)
 
 
 def _pack_tl(t, loc):
     """(t >= 0 f32, loc < 256 i32) -> ONE i32 whose order equals t's
     (positive floats order as signed ints); the low 8 mantissa bits
-    carry loc. Truncation lowers t by <= 2^-15 relative — conservative
+    carry loc. Truncation lowers t by <= 2^-13 relative — conservative
     for the lb_over proof (a lowered best can only keep a ray
     unproven), and the final hit t is recomputed exactly from the
     winning triangle downstream (mesh.refine_tri_hit)."""
@@ -1060,7 +1074,7 @@ def intersect_mesh_pairs(origin, direction, cm: "cl.ClusterMesh", config,
     # walked — the walk covers a ray's full feasible list, so each
     # iteration proves its whole buffer and the loop strictly shrinks.
     m3 = min(max(256, WALK_LANES // S), ns)
-    tile3 = min(tile, m3)
+    tile3 = min(tile, m3, wk.vmem_tile_cap(kp))
 
     iota_m3 = jnp.arange(m3, dtype=jnp.int32)[None, :]
 

@@ -116,6 +116,17 @@ def _slab_cull_kernel(x_ref, slab_ref, blk_ref, out_ref, *, kp, tile):
         out_ref[m:m + 1, :] = jnp.min(entry, axis=0, keepdims=True)
 
 
+def vmem_tile_cap(kp: int, budget_bytes: int = 1 << 21) -> int:
+    """Largest pow-2 ray tile whose [tile, kp] f32 entry table stays
+    under ``budget_bytes`` — big-block-count scenes (adaptive 512/1024
+    blocks past 1M tris) must shrink the cull tile or the kernel's
+    VMEM stack overflows (measured at 8192 blocks)."""
+    t = 8
+    while t * 2 * kp * 4 <= budget_bytes:
+        t *= 2
+    return t
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
 def _slab_cull_pallas(x, slab, blk, tile: int, interpret: bool):
     import jax.experimental.pallas as pl
@@ -312,7 +323,7 @@ def intersect_mesh_walk(origin, direction, cm: "cl.ClusterMesh", config,
     origin = vm.as_rows(origin)
     direction = vm.as_rows(direction)
     n = origin.shape[0]
-    tile = config.cluster_tile
+    tile = min(config.cluster_tile, vmem_tile_cap(cm.slab.shape[1]))
 
     origin = jnp.asarray(origin, jnp.float32) - cm.center_shift
     direction = jnp.asarray(direction, jnp.float32)

@@ -111,6 +111,12 @@ def with_resolution(scene: SceneData, width: int, height: int) -> SceneData:
     return scene._replace(camera=new_cam)
 
 
+def replace_camera(scene: SceneData, camera) -> SceneData:
+    """Return the scene with ``camera`` swapped in (interactive orbit/
+    pan rebuilds the camera through ops/camera.derive_camera)."""
+    return scene._replace(camera=camera)
+
+
 def load_scene(
     path: str,
     obj_path: Optional[str] = None,
@@ -150,15 +156,29 @@ def load_scene(
             kd = build_kdtree_from_mesh(mesh, leaf_size=leaf_size, max_depth=max_depth)
         cmesh = None
         # The pair intersector's packed block ids cap the cluster table
-        # at 4096 blocks (~1M tris at block=256, ops/pairs._IDX_BITS);
+        # (8192 blocks = ~2.1M tris at block=256, ops/pairs._IDX_BITS);
         # bigger meshes skip the table and the auto-select takes the
         # KD walk instead of crashing at trace time.
-        if build_cluster and mesh.v0.shape[0] <= 4096 * cluster_block:
+        from kdtreepathtraceroptimization_tpu.ops.pairs import (
+            MAX_CLUSTER_BLOCKS,
+        )
+
+        if build_cluster:
             from kdtreepathtraceroptimization_tpu.ops.cluster import (
                 build_cluster_mesh,
             )
 
-            cmesh = build_cluster_mesh(mesh, block=cluster_block)
+            # Reference-extreme scenes (R8 1.69M verts, Gutenberg 3M+,
+            # README.md:163-181) need bigger blocks: the loc field
+            # packs 10 bits (block<=1024) and the extraction kernel's
+            # [kp, 128] VMEM buffers want kp <= 4096 (half the packed
+            # block-id cap), so the builder targets <=4096 blocks.
+            for blk_size in (cluster_block, 512, 1024):
+                if (blk_size >= cluster_block
+                        and mesh.v0.shape[0]
+                        <= (MAX_CLUSTER_BLOCKS // 2) * blk_size):
+                    cmesh = build_cluster_mesh(mesh, block=blk_size)
+                    break
         scene = scene._replace(
             mesh=mesh, materials=materials, kd=kd, cmesh=cmesh
         )

@@ -139,6 +139,45 @@ def test_t_init_and_active_masking():
     del base
 
 
+def test_over_cap_scene_falls_back_to_kd(monkeypatch):
+    """A mesh past the pair intersector's block-id cap must load with
+    cmesh=None and still render correctly through the KD walk
+    (scene/parser.py fallback; VERDICT r4 item 3). The cap is
+    monkeypatched tiny so a test-sized mesh exercises the real path."""
+    import os
+    import tempfile
+
+    from kdtreepathtraceroptimization_tpu.ops import pairs as pr
+    from kdtreepathtraceroptimization_tpu.render.integrator import render
+    from kdtreepathtraceroptimization_tpu.scene.parser import (
+        load_scene, with_resolution,
+    )
+    from kdtreepathtraceroptimization_tpu.utils.procmesh import write_obj
+
+    # 1280 tris beats every fallback block size once the cap is 1 block
+    verts, faces = icosphere(3, radius=2.5, center=(0.0, 3.0, 0.0))
+    tmp = tempfile.NamedTemporaryFile(suffix=".obj", delete=False, mode="w")
+    tmp.close()
+    write_obj(tmp.name, verts, faces)
+    scene_path = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                              "cornell.txt")
+    monkeypatch.setattr(pr, "MAX_CLUSTER_BLOCKS", 1)
+    over = with_resolution(load_scene(scene_path, obj_path=tmp.name), 32, 32)
+    assert over.cmesh is None, "over-cap scene should skip the cluster table"
+    monkeypatch.undo()
+    ref = with_resolution(load_scene(scene_path, obj_path=tmp.name), 32, 32)
+    assert ref.cmesh is not None
+
+    # The production auto-select config renders identically either way:
+    # with no cluster table it takes the KD walk.
+    cfg = RenderConfig(trace_depth=2, cluster_auto=True, cluster_min_tris=1)
+    img_over = np.asarray(render(over, cfg, spp=4, seed=0))
+    img_ref = np.asarray(render(ref, cfg, spp=4, seed=0))
+    assert np.isfinite(img_over).all()
+    diff = np.abs(img_over - img_ref)
+    assert diff.mean() < 0.01, f"fallback render diverged: {diff.mean()}"
+
+
 def test_cluster_render_matches_kd():
     """Full cornell+mesh render: cluster mode vs KD within noise."""
     import os

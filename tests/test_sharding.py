@@ -1,6 +1,8 @@
 """Multi-device sharding tests on the 8-virtual-CPU-device mesh
 (SURVEY.md §4: multi-host testing via xla_force_host_platform_device_count)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -144,4 +146,86 @@ def test_render_distributed_single_process(cornell_scene, eight_devices):
     assert multihost.initialize() is False  # no coordinator configured
     img = np.asarray(multihost.render_distributed(scene, config, spp=2))
     ref = np.asarray(render(scene, config, spp=2, seed=0))
+    np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-6)
+
+
+_TWO_PROC_WORKER = """\
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+sys.path.insert(0, {repo!r})
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from kdtreepathtraceroptimization_tpu.config import RenderConfig
+from kdtreepathtraceroptimization_tpu.parallel.multihost import (
+    initialize, render_distributed,
+)
+from kdtreepathtraceroptimization_tpu.scene.parser import (
+    load_scene, with_resolution,
+)
+
+pid = int(sys.argv[1])
+ok = initialize(coordinator_address="localhost:{port}",
+                num_processes=2, process_id=pid)
+assert ok, "initialize() returned False with a coordinator configured"
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, len(jax.devices())
+scene = with_resolution(load_scene({scene_path!r}), 32, 32)
+img = render_distributed(scene, RenderConfig(trace_depth=2), spp=2, seed=0)
+if pid == 0:
+    np.save({out!r}, np.asarray(img))
+print("proc", pid, "done", flush=True)
+"""
+
+
+def test_render_distributed_two_processes(tmp_path):
+    """REAL >=2-process exercise of the multi-host entry (VERDICT r4
+    item 7): two CPU processes with 2 virtual devices each join a
+    localhost coordinator, render over the 4-device global mesh, and
+    process 0's gathered image must match the single-process render."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from kdtreepathtraceroptimization_tpu.render.integrator import render
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    scene_path = os.path.join(repo, "scenes", "cornell.txt")
+    out = str(tmp_path / "img0.npy")
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(_TWO_PROC_WORKER.format(repo=repo, port=port,
+                                        scene_path=scene_path, out=out))
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "PALLAS_AXON_POOL_IPS")}
+    procs = [subprocess.Popen([_sys.executable, worker, str(i)], env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(o.decode(errors="replace"))
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-2000:]}"
+    img = np.load(out)
+
+    from kdtreepathtraceroptimization_tpu.scene.parser import load_scene
+
+    scene = with_resolution(load_scene(scene_path), 32, 32)
+    ref = np.asarray(render(scene, RenderConfig(trace_depth=2), spp=2,
+                            seed=0))
     np.testing.assert_allclose(img, ref, rtol=1e-5, atol=1e-6)
