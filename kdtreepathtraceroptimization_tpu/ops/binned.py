@@ -103,7 +103,7 @@ def _argmin_pallas(x, cull_w, blk, tile: int, interpret: bool):
     kp = blk.shape[1]
     g = n // tile
     kernel = functools.partial(_argmin_kernel, kp=kp, tile=tile)
-    out = pl.pallas_call(
+    out = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -114,7 +114,7 @@ def _argmin_pallas(x, cull_w, blk, tile: int, interpret: bool):
         out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 1), jnp.int32),
         interpret=interpret,
-    )(x, cull_w, blk)
+    ), x, cull_w, blk)
     return out.reshape(n)
 
 

@@ -331,7 +331,7 @@ def _cull_pallas(x, cull_w, blk, tile: int, interpret: bool):
     kp = blk.shape[1]
     g = n // tile
     kernel = functools.partial(_cull_kernel, kp=kp, tile=tile)
-    out = pl.pallas_call(
+    out = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -342,7 +342,7 @@ def _cull_pallas(x, cull_w, blk, tile: int, interpret: bool):
         out_specs=pl.BlockSpec((8, kp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((8 * g, kp), jnp.float32),
         interpret=interpret,
-    )(x, cull_w, blk)
+    ), x, cull_w, blk)
     return out.reshape(g, 8, kp).min(axis=1)
 
 
@@ -465,7 +465,7 @@ def _sweep_pallas(r, t0, w, tile: int, block: int, interpret: bool):
     g = n // tile
     k = w.shape[0]
     kernel = functools.partial(_sweep_kernel, block=block, tile=tile)
-    bt, btri = pl.pallas_call(
+    bt, btri = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid=(g, k),
         in_specs=[
@@ -482,7 +482,7 @@ def _sweep_pallas(r, t0, w, tile: int, block: int, interpret: bool):
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(r, t0.reshape(n, 1), w)
+    ), r, t0.reshape(n, 1), w)
     return bt.reshape(n), btri.reshape(n)
 
 
@@ -512,7 +512,7 @@ def _cluster_pallas(sel, lb, r, t0, act, w, tile: int, block: int,
             pl.BlockSpec((tile, 1), lambda i, j, sel, lb: (i, 0)),
         ],
     )
-    bt, btri = pl.pallas_call(
+    bt, btri = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
@@ -520,7 +520,7 @@ def _cluster_pallas(sel, lb, r, t0, act, w, tile: int, block: int,
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(sel, lb, r, t0.reshape(n, 1), act.reshape(n, 1), w)
+    ), sel, lb, r, t0.reshape(n, 1), act.reshape(n, 1), w)
     return bt.reshape(n), btri.reshape(n)
 
 

@@ -230,7 +230,7 @@ def _bf_pallas(r, w, t0, rt: int, tb: int, interpret: bool):
     grid = (n_tiles, n_blocks)
 
     kernel = functools.partial(_bf_kernel, tb=tb, rt=rt)
-    bt, btri = pl.pallas_call(
+    bt, btri = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -247,7 +247,7 @@ def _bf_pallas(r, w, t0, rt: int, tb: int, interpret: bool):
             jax.ShapeDtypeStruct((n, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(r, w, t0.reshape(n, 1))
+    ), r, w, t0.reshape(n, 1))
     return bt.reshape(n), btri.reshape(n)
 
 

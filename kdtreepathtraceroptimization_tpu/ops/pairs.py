@@ -65,7 +65,10 @@ F2 = 12
 # dragon-scale diffuse bounce (measured full-call cost ROSE 66->73 ms
 # at 49152 — the overflow round costs more than the larger buffer).
 REPAIR_LANES = 65536
-WALK_LANES = 8192
+# pass-3 buffer: the residual tail is a few hundred rays/bounce at
+# dragon scale; 2048 lanes measured 0.5 ms cheaper per call than 8192
+# with identical results (r5 sweep), and the loop covers overflows.
+WALK_LANES = 2048
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +246,7 @@ def _extract_pallas(x, slab, blk, tile: int, F: int, interpret: bool):
     slabt = slab.T               # [kp, 8]
     blkt = blk.T
     kernel = functools.partial(_extract_kernel_t, kp=kp, tl=tl, F=F)
-    ids, lbov, cnt, featt = pl.pallas_call(
+    ids, lbov, cnt, featt = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -264,7 +267,7 @@ def _extract_pallas(x, slab, blk, tile: int, F: int, interpret: bool):
             jax.ShapeDtypeStruct((16, n), jnp.float32),
         ],
         interpret=interpret,
-    )(xt, slabt, blkt)
+    ), xt, slabt, blkt)
     return ids.T, lbov.reshape(n), cnt.reshape(n), featt.T
 
 
@@ -566,12 +569,12 @@ def _pair_bdiag_pallas(blk_s, feat, w, block: int, ptile: int, kreal: int,
             pltpu.SemaphoreType.DMA((2, _BD_SLOTS)),
         ],
     )
-    packed = pl.pallas_call(
+    packed = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, 1), jnp.int32),
         interpret=interpret,
-    )(tfirst, blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), feat, w, w)
+    ), tfirst, blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), feat, w, w)
     return packed.reshape(s)
 
 
@@ -610,12 +613,12 @@ def _pair_runs_pallas(blk_s, feat, w, block: int, ptile: int, kreal: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    packed = pl.pallas_call(
+    packed = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((s, 1), jnp.int32),
         interpret=interpret,
-    )(tfirst, blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), feat, w, w)
+    ), tfirst, blk_s.reshape(g, 1, ptile), blk_s.reshape(s, 1), feat, w, w)
     return packed.reshape(s)
 
 

@@ -278,3 +278,27 @@ def build_transformation_matrix(translation, rotation_deg, scale) -> np.ndarray:
     s = np.diag([scale[0], scale[1], scale[2], 1.0])
     r = _rot_x(rotation_deg[0]) @ _rot_y(rotation_deg[1]) @ _rot_z(rotation_deg[2])
     return (t @ r @ s).astype(np.float32)
+
+
+def nondiff_call(fn, *args):
+    """Invoke ``fn(*args)`` as an explicitly NON-differentiable block
+    (zero/symbolic-zero tangents). Pallas kernels have no JVP rule, and
+    even though every intersector output is stop_gradient'd, reverse
+    mode must LINEARIZE any kernel sitting inside differentiated
+    control flow (lax.cond/while) — which fails on TPU. All kernel
+    outputs here are discrete selections whose gradients are recovered
+    downstream by exact re-evaluation of the winner
+    (mesh.refine_tri_hit), so zero tangents are semantically correct.
+    """
+    import jax.custom_derivatives as _cd
+
+    f = jax.custom_jvp(fn)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        out = fn(*primals)
+        return out, jax.tree.map(
+            lambda pr: _cd.zero_from_primal(pr, symbolic_zeros=False), out
+        )
+
+    return f(*args)

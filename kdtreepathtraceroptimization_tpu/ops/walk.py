@@ -135,7 +135,7 @@ def _slab_cull_pallas(x, slab, blk, tile: int, interpret: bool):
     kp = blk.shape[1]
     g = n // tile
     kernel = functools.partial(_slab_cull_kernel, kp=kp, tile=tile)
-    out = pl.pallas_call(
+    out = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -146,7 +146,7 @@ def _slab_cull_pallas(x, slab, blk, tile: int, interpret: bool):
         out_specs=pl.BlockSpec((8, kp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((8 * g, kp), jnp.float32),
         interpret=interpret,
-    )(x, slab, blk)
+    ), x, slab, blk)
     return out.reshape(g, 8, kp).min(axis=1)
 
 
@@ -263,7 +263,7 @@ def _walk_pallas(sel, lb, nsel, r, t0, act, w, tile: int, block: int,
     g = n // tile
     kp = sel.shape[1]
     kernel = functools.partial(_walk_kernel, block=block, tile=tile, kp=kp)
-    bt, btri = pl.pallas_call(
+    bt, btri = vm.nondiff_call(pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
@@ -293,7 +293,7 @@ def _walk_pallas(sel, lb, nsel, r, t0, act, w, tile: int, block: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(sel.reshape(g, 1, kp), lb.reshape(g, 1, kp), nsel.reshape(g, 1, 1),
+    ), sel.reshape(g, 1, kp), lb.reshape(g, 1, kp), nsel.reshape(g, 1, 1),
       r, t0.reshape(n, 1), act.reshape(n, 1), w)
     return bt.reshape(n), btri.reshape(n)
 
