@@ -164,6 +164,81 @@ def _refine_tri_hit_verts_v(origin: vm.V3, direction: vm.V3,
     return t, u, v
 
 
+_T_TILE = 4096
+
+
+def _rows_to_cols_pallas(rows: jax.Array) -> jax.Array:
+    """[N, C] -> [C, N] via a tiled Pallas transpose (TPU only).
+
+    Turning a row-major gather result into C usable channel arrays via
+    XLA strided reads costs ~7 ms at 640k x 19 (the cross-lane relayout
+    is re-fused into every consumer); this kernel does the relayout in
+    one pass at ~bandwidth (exp/trihit_micro2.py: extraction goes from
+    +7.8 ms over the gather floor to ~free)."""
+    from jax.experimental import pallas as pl
+
+    n, c = rows.shape
+    tile = _T_TILE
+    npad = -(-n // tile) * tile
+    if npad != n:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((npad - n, c), rows.dtype)])
+
+    def kern(x_ref, o_ref):
+        o_ref[:, :] = x_ref[:, :].T
+
+    out = pl.pallas_call(
+        kern,
+        grid=(npad // tile,),
+        in_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((c, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((c, npad), rows.dtype),
+    )(rows)
+    return out[:, :n] if npad != n else out
+
+
+def _cols_to_rows_pallas(cols: jax.Array) -> jax.Array:
+    """[C, N] -> [N, C]: the transpose-back twin (used as the VJP)."""
+    from jax.experimental import pallas as pl
+
+    c, n = cols.shape
+    tile = _T_TILE
+    npad = -(-n // tile) * tile
+    if npad != n:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((c, npad - n), cols.dtype)], axis=1)
+
+    def kern(x_ref, o_ref):
+        o_ref[:, :] = x_ref[:, :].T
+
+    out = pl.pallas_call(
+        kern,
+        grid=(npad // tile,),
+        in_specs=[pl.BlockSpec((c, tile), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((npad, c), cols.dtype),
+    )(cols)
+    return out[:n] if npad != n else out
+
+
+@jax.custom_vjp
+def _transpose_rows(rows: jax.Array) -> jax.Array:
+    return _rows_to_cols_pallas(rows)
+
+
+def _transpose_rows_fwd(rows):
+    return _transpose_rows(rows), None
+
+
+def _transpose_rows_bwd(_, ct):
+    # The exact adjoint of a transpose is the transpose back; gradients
+    # w.r.t. mesh vertices keep flowing through the row gather upstream.
+    return (_cols_to_rows_pallas(ct),)
+
+
+_transpose_rows.defvjp(_transpose_rows_fwd, _transpose_rows_bwd)
+
+
 def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
     """Expand a TriHit into a full Hit record (normal interpolation +
     offset point, reference: pathtrace.cu:981-1007). t/u/v are
@@ -173,12 +248,23 @@ def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
     is how the production (pairs) intersector is differentiable.
 
     All per-triangle fields are pulled through ONE [T, 19]-row gather:
-    a TPU gather costs ~7 ns per ROW regardless of width (measured,
+    a TPU gather costs ~12 ns per ROW regardless of width (measured,
     exp/gather_micro.py), so seven separate field gathers at 640k lanes
-    were ~30 ms/bounce where the packed row is ~5 ms. The packed table
+    were ~30 ms/bounce where the packed row is ~8 ms. The packed table
     is built from the SoA fields inside the jit — a [T, 19] concat is
     ~0.1 ms at 100k tris and XLA CSEs it across bounces. Downstream
     math is channel-split (V3 of [N]) — see vecmath.py.
+
+    TPU fast path (exp/trihit_micro2-6.py, v5e, 640k rays x 100k tris):
+    the naive expansion costs 20.7 ms/bounce — ~8 ms gather + ~7 ms of
+    [N,19]->19x[N] strided channel relayout + ~5 ms of re-fused reads —
+    plus a congestion penalty from miss lanes all gathering row 0 (a
+    65%-same-row/35%-random mix measures 12 ms vs 9.3 when misses are
+    spread over iota%T). The fast path (miss->iota index spread +
+    optimization_barrier'd gather + one Pallas tile-transpose) runs the
+    whole expansion at 8.0 ms — the random-gather floor. Miss lanes
+    gather live rows but every miss-lane output is masked, so results
+    and cotangents are unchanged (zeros flow back to the extra rows).
 
     ``origin``/``direction``: V3 of [N] or [N, 3].
     """
@@ -188,7 +274,13 @@ def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
         direction = vm.v3_from_rows(jnp.asarray(direction))
     n = origin.x.shape[0]
     is_hit = tri_hit.tri >= 0
-    tri = jnp.maximum(tri_hit.tri, 0)
+    on_tpu = jax.default_backend() == "tpu"
+    nt = int(jnp.asarray(mesh.v0).shape[0])
+    if on_tpu:
+        iota = jax.lax.iota(jnp.int32, n) % jnp.int32(nt)
+        tri = jnp.where(is_hit, tri_hit.tri, iota)
+    else:
+        tri = jnp.maximum(tri_hit.tri, 0)
 
     packed = jnp.concatenate(
         [
@@ -200,12 +292,25 @@ def tri_hit_to_hit(origin, direction, tri_hit: TriHit, mesh) -> Hit:
     )  # [T, 19]
     rowst = packed[jax.lax.stop_gradient(tri)]
 
-    def col3(j):
-        return vm.V3(rowst[:, j], rowst[:, j + 1], rowst[:, j + 2])
+    if on_tpu:
+        rowst = jax.lax.optimization_barrier(rowst)
+        colst = _transpose_rows(rowst)
+
+        def col3(j):
+            return vm.V3(colst[j], colst[j + 1], colst[j + 2])
+
+        def col1(j):
+            return colst[j]
+    else:
+        def col3(j):
+            return vm.V3(rowst[:, j], rowst[:, j + 1], rowst[:, j + 2])
+
+        def col1(j):
+            return rowst[:, j]
 
     v0, v1, v2 = col3(0), col3(3), col3(6)
     n0, n1, n2 = col3(9), col3(12), col3(15)
-    mat_id = rowst[:, 18].astype(jnp.int32)
+    mat_id = col1(18).astype(jnp.int32)
 
     t, u, v = _refine_tri_hit_verts_v(origin, direction, v0, v1, v2)
     # Guard: if the refined eval disagrees wildly (degenerate padding
