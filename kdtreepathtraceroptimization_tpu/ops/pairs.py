@@ -41,6 +41,7 @@ The traversal contract being replaced: traverseKDbareShortHybrid,
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,6 +53,17 @@ from kdtreepathtraceroptimization_tpu.ops import walk as wk
 from kdtreepathtraceroptimization_tpu.ops.intersect import BIG
 from kdtreepathtraceroptimization_tpu.ops.mesh import TriHit
 from kdtreepathtraceroptimization_tpu.parallel.ctx import constrain as _sc
+
+# MT-product matmul precision inside the pair kernels. bf16 inputs
+# (the TPU default) flip accept/reject decisions on rays that ORIGINATE
+# on the tested mesh (secondary bounces: s = o - v0 products near zero,
+# 2^-8 relative error crosses the u/v/t >= 0 boundaries), which biases
+# glass/low-poly renders visibly vs the exact-f32 VPU intersectors.
+# HIGHEST = 3-pass f32: measured nearly free because the kernel is
+# output-streaming-bound, not contraction-bound (PERF.md r5 finding 3).
+# KDPT_PAIR_BF16=1 restores the truncated mode for A/B measurement.
+_PAIR_PRECISION = (None if os.environ.get("KDPT_PAIR_BF16", "0") == "1"
+                   else jax.lax.Precision.HIGHEST)
 
 # second-pass window depth and compaction buffer (see module docstring).
 # Tuned on the cornell+dragon diffuse wave (exp/pairs_stats.py):
@@ -376,6 +388,7 @@ def _pair_runs_kernel(tfirst, blk3_ref, blkcol_ref, feat_ref, w1_ref, w_hbm,
             feat, w_mat,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_PAIR_PRECISION,
         )
         t = mxu_bf._epilogue(prod, block, t0col)
         # pack loc BEFORE the reduce: one packed min replaces
@@ -514,6 +527,7 @@ def _pair_bdiag_kernel(tfirst, blk3_ref, blkcol_ref, feat_ref, w1_ref, w_hbm,
             feat128, wbuf[buf],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_PAIR_PRECISION,
         )
         t = mxu_bf._epilogue(prod, block, t0col)
         pmin = jnp.min(_pack_tl(t, cols), axis=1, keepdims=True)
